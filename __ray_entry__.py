@@ -1,16 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``ray.init`` itself; nothing here (or in the library)
+initialises or shuts down Ray. ``queries()`` maps operator names from
+SURVEY.md §2 to callables over an sf_dir; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL over the pre-registered testdata views.
 """
 
 from __future__ import annotations
@@ -20,25 +13,41 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: pages -> text extraction -> triple
+    extraction + entity linking -> canonical quads (s, p, o, g)."""
+    from virtuoso_quad_log_ray.pipelines import kg
+
+    return kg.build_quads("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from virtuoso_quad_log_ray.pipelines import changelog as cl
+    from virtuoso_quad_log_ray.pipelines import kg
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- KG construction core (SURVEY.md §2.1-§2.6) ---
+        "kg_quads": lambda sf: kg.build_quads(sf),
+        "kg_extract_text": lambda sf: kg.extracted_text(sf),
+        "kg_entity_links": lambda sf: kg.entity_links(sf),
+        "kg_graph_stats": lambda sf: kg.graph_stats(sf),
+        "kg_dedup_exact": lambda sf: kg.dedup_quads(kg.build_quads(sf)),
+        "kg_chunk_plan": lambda sf: kg.chunk_plan(sf, max_quads_per_file=50),
+        "kg_rdfpatch_lines": lambda sf: kg.rdfpatch_lines(sf),
+        "kg_changelog": lambda sf: cl.changelog(sf),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from virtuoso_quad_log_ray.pipelines import changelog as cl
+    from virtuoso_quad_log_ray.pipelines import kg
+
+    return {
+        "kg_quads": kg.QUADS_SQL,
+        "kg_extract_text": kg.EXTRACTED_TEXT_SQL,
+        "kg_entity_links": kg.ENTITY_LINKS_SQL,
+        "kg_graph_stats": kg.GRAPH_STATS_SQL,
+        "kg_dedup_exact": kg.DEDUP_QUADS_SQL,
+        "kg_chunk_plan": kg.chunk_plan_sql(50),
+        "kg_rdfpatch_lines": kg.RDFPATCH_LINES_SQL,
+        "kg_changelog": cl.changelog_sql(),
+    }

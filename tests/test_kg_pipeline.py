@@ -1,0 +1,98 @@
+"""KG pipeline correctness vs the DuckDB oracle at sf0.001 (the same
+comparison the driver runs at sf0.01), plus changelog properties."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from tests.conftest import SF_SMALL, assert_matches_oracle, to_arrow
+from virtuoso_quad_log_ray.pipelines import changelog as cl
+from virtuoso_quad_log_ray.pipelines import kg
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKgOracle:
+    def test_quads(self, oracle):
+        assert_matches_oracle(kg.build_quads(SF_SMALL), oracle, kg.QUADS_SQL, ["s", "p", "o", "g"])
+
+    def test_extract_text_byte_identical(self, oracle):
+        assert_matches_oracle(
+            kg.extracted_text(SF_SMALL), oracle, kg.EXTRACTED_TEXT_SQL, ["url"]
+        )
+
+    def test_entity_links(self, oracle):
+        assert_matches_oracle(
+            kg.entity_links(SF_SMALL), oracle, kg.ENTITY_LINKS_SQL, ["url", "surface", "canon"]
+        )
+
+    def test_graph_stats(self, oracle):
+        assert_matches_oracle(kg.graph_stats(SF_SMALL), oracle, kg.GRAPH_STATS_SQL, ["g"])
+
+    def test_dedup(self, oracle):
+        assert_matches_oracle(
+            kg.dedup_quads(kg.build_quads(SF_SMALL)), oracle, kg.DEDUP_QUADS_SQL, ["s", "p", "o", "g"]
+        )
+
+    def test_chunk_plan(self, oracle):
+        assert_matches_oracle(
+            kg.chunk_plan(SF_SMALL, max_quads_per_file=5),
+            oracle,
+            kg.chunk_plan_sql(5),
+            ["g", "s", "p", "o"],
+        )
+
+    def test_rdfpatch_lines(self, oracle):
+        assert_matches_oracle(
+            kg.rdfpatch_lines(SF_SMALL), oracle, kg.RDFPATCH_LINES_SQL, ["line"]
+        )
+
+    def test_changelog(self, oracle):
+        assert_matches_oracle(
+            cl.changelog(SF_SMALL), oracle, cl.changelog_sql(), ["op", "s", "p", "o", "g"]
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChangelogProperties:
+    def test_apply_changelog_reaches_v2(self):
+        """apply(quads_v1, changelog) == quads_v2 as sets — the RDF-patch
+        assert/retract semantics (MOTIVATION.md:40-71; FIXTURES.md F7)."""
+        v1 = to_arrow(cl.quads_version(SF_SMALL, 1))
+        v2 = to_arrow(cl.quads_version(SF_SMALL, 2))
+        log = to_arrow(cl.changelog(SF_SMALL))
+        applied = cl.apply_changelog(v1, log)
+
+        def key_set(t):
+            return set(
+                pc.binary_join_element_wise(t["s"], t["p"], t["o"], t["g"], "\x1f").to_pylist()
+            )
+
+        assert key_set(applied) == key_set(v2)
+
+    def test_changelog_empty_on_identical_snapshots(self):
+        v1 = cl.quads_version(SF_SMALL, 1)
+        v1b = cl.quads_version(SF_SMALL, 1)
+        assert cl.diff_quads(v1, v1b).count() == 0
+
+    def test_excluded_graphs_filter(self):
+        """F1 — dump_nquads.sql:44-49 semantics."""
+        from virtuoso_quad_log_ray.config import EngineConfig
+
+        all_quads = to_arrow(kg.build_quads(SF_SMALL))
+        some_graph = all_quads["g"][0].as_py()
+        cfg = EngineConfig(excluded_graphs=(some_graph,))
+        filtered = to_arrow(kg.build_quads(SF_SMALL, cfg))
+        assert pc.sum(pc.equal(filtered["g"], some_graph)).as_py() in (0, None)
+        n_graph = pc.sum(pc.equal(all_quads["g"], some_graph)).as_py()
+        assert len(filtered) == len(all_quads) - n_graph
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chunk_plan_respects_maxq():
+    """G4 — no (g, file_seq) chunk exceeds MAX_QUADS_PER_FILE
+    (buffer_nquads.sql:24-27)."""
+    plan = to_arrow(kg.chunk_plan(SF_SMALL, max_quads_per_file=5))
+    counts = plan.group_by(["g", "file_seq"]).aggregate([("s", "count")])
+    assert pc.max(counts["s_count"]).as_py() <= 5
+    # hot-graph multi-file: at least one graph must have chunked into >1 file
+    assert pc.max(plan["file_seq"]).as_py() >= 1

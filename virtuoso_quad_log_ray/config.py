@@ -1,0 +1,47 @@
+"""Engine configuration.
+
+Single dataclass replacing the reference's ~15 env vars
+(quad-logger/generate-rdfpatch.sh:7-35, DEPLOY.md:161-320).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # Max quads per emitted patch file / chunk.
+    # Reference: MAX_QUADS_PER_FILE default 100000 (generate-rdfpatch.sh:15-16).
+    max_quads_per_file: int = 100_000
+
+    # Graph IRIs excluded from dumps.
+    # Reference: EXCLUDED_GRAPHS (dump_nquads.sql:44-49, generate-rdfpatch.sh:21-28).
+    excluded_graphs: tuple[str, ...] = ()
+
+    # Hash-shuffle partition count for groupby / join stages. Sized for the
+    # cluster: ~2-4x total cores. On a 256-node cluster this would be O(10^3);
+    # the default suits the 32-CPU sandbox.
+    num_shuffle_partitions: int = 64
+
+    # Target rows per Arrow batch in map_batches stages. Pages carry a wide
+    # binary `html` column, so batches stay modest until html is projected away.
+    pages_batch_size: int = 1024
+    quads_batch_size: int = 8192
+
+    # Max patch files per published bundle.
+    # Reference: MAX_FILES_COMPRESSED <= 50000 (synchronizer.py:61-64).
+    max_files_per_bundle: int = 50_000
+
+    # Near-dup thresholds (north_star: MinHash-LSH canonicalization).
+    minhash_num_perm: int = 64
+    minhash_bands: int = 16  # 16 bands x 4 rows: recall ~1 for J >= 0.9
+    jaccard_threshold: float = 0.8
+    shingle_size: int = 3  # word 3-grams
+
+    # Salting factor for hot-key groupby shuffles (popular entities /
+    # duplicate pages — north_rule's named hazard).
+    salt_factor: int = 8
+
+
+DEFAULT_CONFIG = EngineConfig()

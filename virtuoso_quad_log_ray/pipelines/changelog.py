@@ -1,0 +1,189 @@
+"""Quad changelog: rdfpatch +/- records via hash anti-join of snapshots.
+
+The reference gets its changelog for free from Virtuoso's transaction log
+(opcode decode -> '+'/'-', quad-logger/sql-proc/parse_trx_logs.sql:88-101).
+The new engine derives it explicitly (north_rule): given the quad set at the
+prior checkpoint and the quad set now,
+
+    added   = new  LEFT-ANTI prev   -> op '+'
+    deleted = prev LEFT-ANTI new    -> op '-'
+
+both hash-partitioned on the packed quad key (s,p,o,g) — Ray Data's native
+``Dataset.join(join_type='left_anti')`` hash-shuffle join. Ordering within a
+partition is (warc-ts-free) deterministic: ('-' before '+', then s, p, o, g),
+mirroring retract-then-assert RDF-patch application semantics
+(MOTIVATION.md:40-71) and the reference's ascending trx-log order
+(parse_trx_logs.sql:53-64).
+
+Snapshot construction for tests/oracle: two deterministic "crawl states" of
+the pages table (v1 = earlier crawl missing some docs; v2 = current crawl
+with some docs deleted and some re-crawled with mutated content) — the
+FIXTURES.md F7 scenario, expressed as pure filters/mutations of the same
+input so the DuckDB oracle reproduces both sides exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.pipelines.kg import QUADS_SQL_CTE, quad_key
+from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE, pa_mod
+from virtuoso_quad_log_ray.stages.extract_triples import extract_triples
+
+# v1: docs with doc_id % 13 == 3 not yet crawled.
+# v2: docs with doc_id % 17 == 5 dropped; doc_id % 10 == 0 re-crawled with
+#     ' delta spark' appended (changes tokenCount, may add a Spark mention).
+V1_DOC_FILTER = "doc_id % 13 <> 3"
+V2_DOC_FILTER = "doc_id % 17 <> 5"
+V2_MUTATION_PRED = "doc_id % 10 = 0"
+V2_TEXT_SUFFIX = " delta spark"
+
+
+def _pages_version(sf_dir: str, version: int) -> ray.data.Dataset:
+    """Deterministic snapshot v1/v2 of the pages table (no html — changelog
+    runs on post-extraction text)."""
+    import ray.data as rd
+
+    from virtuoso_quad_log_ray.sources.pages import _synth_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"])
+
+    def prepare(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"]
+        if version == 1:
+            keep = pc.not_equal(pa_mod(doc_id, 13), 3)
+            return batch.filter(keep)
+        keep = pc.not_equal(pa_mod(doc_id, 17), 5)
+        batch = batch.filter(keep)
+        mutate = pc.equal(pa_mod(batch["doc_id"], 10), 0)
+        text = pc.if_else(
+            mutate,
+            pc.binary_join_element_wise(batch["text"], V2_TEXT_SUFFIX, ""),
+            batch["text"],
+        )
+        return batch.set_column(batch.schema.get_field_index("text"), "text", text)
+
+    pages = docs.map_batches(prepare, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        _synth_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pages.drop_columns(["html"])
+
+
+def quads_version(sf_dir: str, version: int, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    return extract_triples(_pages_version(sf_dir, version), batch_size=cfg.quads_batch_size)
+
+
+def diff_quads(
+    prev: ray.data.Dataset,
+    new: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> ray.data.Dataset:
+    """(prev, new) quad sets -> changelog (op, s, p, o, g).
+
+    ONE full_outer hash-shuffle join on the packed quad key with presence
+    markers on each side — both anti-join directions fall out of a single
+    shuffle (rows missing on the right are '+', missing on the left are '-').
+    Key packing keeps the join single-column. The partition count is sized to
+    the live cluster: each join partition is a 1-CPU aggregator actor, so
+    asking for more partitions than cores deadlocks a small cluster and
+    oversubscribes a big one.
+    """
+    n_parts = _join_partitions(cfg)
+
+    def keyed(marker: str):
+        def fn(b: pa.Table) -> pa.Table:
+            t = quad_key(b)
+            return pa.table(
+                {"qk": t["qk"], marker: pa.array(np.ones(len(b), dtype=np.int8))}
+            )
+
+        return fn
+
+    new_k = new.map_batches(keyed("in_new"), batch_format="pyarrow", zero_copy_batch=True)
+    prev_k = prev.map_batches(keyed("in_prev"), batch_format="pyarrow", zero_copy_batch=True)
+    joined = new_k.join(prev_k, join_type="full_outer", num_partitions=n_parts, on=("qk",))
+
+    def to_changelog(batch: pa.Table) -> pa.Table:
+        added = pc.is_null(batch["in_prev"])
+        deleted = pc.is_null(batch["in_new"])
+        changed = batch.filter(pc.or_(added, deleted))
+        op = pc.if_else(
+            pc.is_null(changed["in_prev"]),
+            pa.scalar("+", type=pa.string()),
+            pa.scalar("-", type=pa.string()),
+        )
+        parts = pc.split_pattern(changed["qk"], "\x1f")
+        cols: dict[str, pa.Array] = {"op": op}
+        for i, c in enumerate(("s", "p", "o", "g")):
+            cols[c] = pc.list_element(parts, i) if len(changed) else pa.array([], type=pa.string())
+        return pa.table(cols)
+
+    return joined.map_batches(to_changelog, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _join_partitions(cfg: EngineConfig) -> int:
+    """min(configured, live cluster CPUs), >= 2."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(cfg.num_shuffle_partitions, cpus // 2))
+
+
+def changelog(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """The v1 -> v2 changelog over the deterministic snapshot pair."""
+    return diff_quads(quads_version(sf_dir, 1, cfg), quads_version(sf_dir, 2, cfg), cfg)
+
+
+def apply_changelog(prev: pa.Table, log: pa.Table) -> pa.Table:
+    """RDF-patch application semantics (retract then assert) for property
+    tests: apply(quads_v1, changelog) == quads_v2 as sets (FIXTURES.md F7)."""
+    def keys(t: pa.Table) -> pa.Array:
+        return pc.binary_join_element_wise(t["s"], t["p"], t["o"], t["g"], "\x1f")
+
+    minus = log.filter(pc.equal(log["op"], "-"))
+    plus = log.filter(pc.equal(log["op"], "+"))
+    retained = prev.filter(pc.invert(pc.is_in(keys(prev), value_set=keys(minus).combine_chunks())))
+    added = plus.select(["s", "p", "o", "g"])
+    return pa.concat_tables([retained.select(["s", "p", "o", "g"]), added])
+
+
+# ---------------------------------------------------------------------------
+# Lockstep DuckDB oracle
+# ---------------------------------------------------------------------------
+
+def _versioned_pages_cte(version: int) -> str:
+    """pages CTE for snapshot v1/v2 (documents filtered/mutated, then the
+    standard synthesis incl. clone rows — lockstep with _pages_version)."""
+    if version == 1:
+        docs = f"SELECT doc_id, text, lang, source FROM documents WHERE {V1_DOC_FILTER}"
+    else:
+        docs = (
+            "SELECT doc_id, "
+            f"       CASE WHEN {V2_MUTATION_PRED} THEN text || '{V2_TEXT_SUFFIX}' ELSE text END AS text, "
+            "       lang, source "
+            f"FROM documents WHERE {V2_DOC_FILTER}"
+        )
+    body = PAGES_SQL_CTE.replace("FROM documents", "FROM docs")
+    return f"docs AS ({docs}),\n{body}"
+
+
+def _quads_select(version: int) -> str:
+    """Standalone SELECT (with its own nested WITH) producing a snapshot's
+    quad set — embedded as a CTE body in changelog_sql."""
+    return f"WITH {_versioned_pages_cte(version)},\n{QUADS_SQL_CTE}\nSELECT s, p, o, g FROM quads"
+
+
+def changelog_sql() -> str:
+    return (
+        f"WITH quads_v1 AS ({_quads_select(1)}),\n"
+        f"quads_v2 AS ({_quads_select(2)})\n"
+        "SELECT '+' AS op, s, p, o, g FROM (SELECT s, p, o, g FROM quads_v2 EXCEPT SELECT s, p, o, g FROM quads_v1)\n"
+        "UNION ALL\n"
+        "SELECT '-' AS op, s, p, o, g FROM (SELECT s, p, o, g FROM quads_v1 EXCEPT SELECT s, p, o, g FROM quads_v2)"
+    )

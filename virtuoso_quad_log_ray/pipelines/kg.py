@@ -1,0 +1,261 @@
+"""KG construction pipeline: pages -> canonical quads (+ dump-mode shaping).
+
+Ray-Data-first re-expression of the reference's dump path
+(quad-logger/sql-proc/dump_nquads.sql:11-84):
+
+  read pages -> extract text (M11) -> extract+link triples (M12/E1)
+    -> excluded-graphs filter (F1, dump_nquads.sql:44-49)
+    -> exact dedup (D1, the table-id echo filter analog, parse_trx_logs.sql:102-109)
+    -> per-graph grouping + maxq chunk plan (G2/G4, buffer_nquads.sql:8-29)
+
+The reference needed a GLOBAL ``ORDER BY ?g`` (dump_nquads.sql:49) or an
+unbounded in-server dict buffer (documented OOM, buffer_nquads.sql:7) to get
+graph-homogeneous files; here a hash ``groupby('g')`` shuffle does it with
+bounded memory — exactly the skew/memory bug Ray Data's shuffle fixes
+(SURVEY.md §4).
+
+Each pipeline function has a lockstep DuckDB oracle SQL builder used by
+__ray_entry__.oracle_sql(); keep them in sync (tests assert equality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE, read_pages
+from virtuoso_quad_log_ray.stages.extract_text import extract_text
+from virtuoso_quad_log_ray.stages.extract_triples import (
+    ALIAS_PAIRS,
+    ENTITY_NS,
+    VOCAB,
+    XSD_INTEGER,
+    extract_triples,
+)
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (lockstep with the vectorized stages)
+# ---------------------------------------------------------------------------
+
+ALIASES_SQL_VALUES = ",\n        ".join(f"('{s}', '{c}')" for s, c in ALIAS_PAIRS)
+
+# quads CTE over the pages CTE — mirrors TripleExtractor exactly.
+QUADS_SQL_CTE = f"""
+aliases(surface, canon) AS (VALUES
+        {ALIASES_SQL_VALUES}),
+toks AS (
+    SELECT url, unnest(string_split(text, ' ')) AS tok FROM pages
+),
+mentions AS (
+    SELECT DISTINCT t.url, a.canon FROM toks t JOIN aliases a ON a.surface = t.tok
+),
+quads AS (
+    SELECT '<' || url || '>' AS s, '{VOCAB}lang' AS p,
+           '"' || lang || '"' AS o, url AS g FROM pages
+    UNION ALL
+    SELECT '<' || url || '>', '{VOCAB}source',
+           '"' || regexp_extract(url, 'https://example\\.org/([^/]+)/', 1) || '"', url FROM pages
+    UNION ALL
+    SELECT '<' || url || '>', '{VOCAB}tokenCount',
+           '"' || len(string_split(text, ' ')) || '"^^<{XSD_INTEGER}>', url FROM pages
+    UNION ALL
+    SELECT '<' || url || '>', '{VOCAB}mentions',
+           '<{ENTITY_NS}' || canon || '>', url FROM mentions
+)
+""".strip()
+
+
+def sql_with_pages(body: str, extra_cte: str = "") -> str:
+    """WITH pages [, quads][, extra] AS (...) <body>."""
+    ctes = [PAGES_SQL_CTE]
+    if extra_cte:
+        ctes.append(extra_cte)
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+# ---------------------------------------------------------------------------
+# Pipelines
+# ---------------------------------------------------------------------------
+
+
+def build_quads(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, *, from_html: bool = True
+) -> ray.data.Dataset:
+    """Full extraction pipeline: pages -> (s, p, o, g) quads.
+
+    ``from_html=True`` runs the real path (html -> text extraction first);
+    the html column never survives past the first stage.
+    """
+    pages = read_pages(sf_dir, include_html=from_html)
+    if from_html:
+        pages = extract_text(pages, batch_size=cfg.pages_batch_size)
+    quads = extract_triples(pages, batch_size=cfg.quads_batch_size)
+    if cfg.excluded_graphs:
+        # F1 excluded-graphs filter (dump_nquads.sql:44-49): tiny IN-list,
+        # evaluated vectorized per batch; at scale this pushes into the read
+        # when graphs map to partition paths.
+        excluded = pa.array(list(cfg.excluded_graphs), type=pa.string())
+        quads = quads.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(b["g"], value_set=excluded))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return quads
+
+
+QUADS_SQL = sql_with_pages("SELECT s, p, o, g FROM quads", QUADS_SQL_CTE)
+
+
+def quad_key(batch: pa.Table, cols=("s", "p", "o", "g")) -> pa.Table:
+    """Append a single concatenated shuffle key 'qk' for the quad identity
+    (s,p,o,g). 0x1f unit separator cannot occur in rendered terms."""
+    key = pc.binary_join_element_wise(*[batch[c] for c in cols], "\x1f")
+    return batch.append_column("qk", key)
+
+
+def dedup_quads(quads: ray.data.Dataset, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """D1 exact dedup on quad identity.
+
+    The reference deduplicates multi-index trx echoes with a table-id filter
+    (parse_trx_logs.sql:102-109); generically this is distinct-by-key. The
+    quad identity (s,p,o,g) is reversibly packed into one key column, counted
+    with ``groupby().count()`` — which pre-aggregates per block BEFORE the
+    hash shuffle, so only distinct keys move — and unpacked vectorized.
+    Never map_groups over millions of single-row groups.
+    """
+    with_key = quads.map_batches(
+        lambda b: quad_key(b).select(["qk"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    distinct = with_key.groupby("qk").count()
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["qk"], "\x1f")
+        return pa.table({c: pc.list_element(parts, i) for i, c in enumerate(("s", "p", "o", "g"))})
+
+    return distinct.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DEDUP_QUADS_SQL = sql_with_pages("SELECT DISTINCT s, p, o, g FROM quads", QUADS_SQL_CTE)
+
+
+def graph_stats(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """A1/A6 — per-graph quad counts (the '# amount' header field and the
+    quad_count/file_count report counters, buffer_nquads.sql:14-15,52-58)."""
+    quads = build_quads(sf_dir, cfg)
+    return quads.groupby("g").count().rename_columns({"count()": "n_quads"})
+
+
+GRAPH_STATS_SQL = sql_with_pages(
+    "SELECT g, count(*) AS n_quads FROM quads GROUP BY g", QUADS_SQL_CTE
+)
+
+
+def chunk_plan(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, *, max_quads_per_file: int | None = None
+) -> ray.data.Dataset:
+    """G2/G4 — deterministic per-graph file chunking.
+
+    Assigns every quad its output file sequence number: quads of one graph,
+    ordered by (s, p, o), are packed maxq per file (MAX_QUADS_PER_FILE
+    semantics, buffer_nquads.sql:24-27; default generate-rdfpatch.sh:15-16).
+    One shuffle on g; ordering is per-group only (no global sort — the
+    reference's global ORDER BY ?g, dump_nquads.sql:49, is unnecessary here).
+    """
+    maxq = max_quads_per_file or cfg.max_quads_per_file
+
+    def assign(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("s", "ascending"), ("p", "ascending"), ("o", "ascending")]
+        )
+        g_sorted = group.take(order)
+        seq = pa.array(np.arange(len(group), dtype=np.int64) // maxq)
+        return g_sorted.append_column("file_seq", seq)
+
+    quads = build_quads(sf_dir, cfg)
+    return quads.groupby("g").map_groups(assign, batch_format="pyarrow")
+
+
+def chunk_plan_sql(maxq: int) -> str:
+    return sql_with_pages(
+        "SELECT s, p, o, g, "
+        f"       CAST((row_number() OVER (PARTITION BY g ORDER BY s, p, o) - 1) // {maxq} AS BIGINT) AS file_seq "
+        "FROM quads",
+        QUADS_SQL_CTE,
+    )
+
+
+def extracted_text(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """M11 surface: the byte-identical per-url text contract
+    (BASELINE.json input_hint)."""
+    return extract_text(read_pages(sf_dir), batch_size=cfg.pages_batch_size).select_columns(
+        ["url", "text", "lang"]
+    )
+
+
+EXTRACTED_TEXT_SQL = sql_with_pages("SELECT url, text, lang FROM pages")
+
+
+def entity_links(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """E1 surface: distinct (url, surface, canonical) alias-dictionary links."""
+    pages = read_pages(sf_dir, include_html=False)
+
+    surfaces = pa.array([s for s, _ in ALIAS_PAIRS], type=pa.string())
+    canonicals = pa.array([c for _, c in ALIAS_PAIRS], type=pa.string())
+
+    def link(batch: pa.Table) -> pa.Table:
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        tokens = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens)
+        hit = pc.is_in(flat, value_set=surfaces)
+        flat_h = pc.filter(flat, hit)
+        par_h = pc.filter(parents, hit)
+        canon = pc.take(canonicals, pc.index_in(flat_h, surfaces))
+        distinct = (
+            pa.table({"i": par_h, "surface": flat_h, "canon": canon})
+            .group_by(["i", "surface", "canon"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "url": pc.take(url, distinct["i"]),
+                "surface": distinct["surface"],
+                "canon": distinct["canon"],
+            }
+        )
+
+    return pages.map_batches(link, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ENTITY_LINKS_SQL = sql_with_pages(
+    "SELECT DISTINCT t.url AS url, a.surface AS surface, a.canon AS canon\n"
+    "FROM toks t JOIN aliases a ON a.surface = t.tok",
+    QUADS_SQL_CTE,
+)
+
+
+def rdfpatch_lines(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """M1-M4 surface: fully rendered `+ s p o <g> .` patch lines
+    (vql_create_nquad, utils.sql:23-30)."""
+    from virtuoso_quad_log_ray.rdfpatch import render_patch_lines
+
+    quads = build_quads(sf_dir, cfg)
+
+    def render(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        op = pa.array(["+"] * n, type=pa.string())
+        line = render_patch_lines(op, batch["s"], batch["p"], batch["o"], batch["g"])
+        return pa.table({"line": line})
+
+    return quads.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+
+
+RDFPATCH_LINES_SQL = sql_with_pages(
+    "SELECT '+ ' || s || ' ' || p || ' ' || o || ' <' || g || '> .' AS line FROM quads",
+    QUADS_SQL_CTE,
+)

@@ -1,0 +1,128 @@
+"""Common-Crawl-style pages source.
+
+The engine's primary input is a Parquet table of web pages
+``(url:string, warc_ts:timestamp[s], html:binary, text:string, lang:string)``
+(authoritative shape per BASELINE.json input_hint; FIXTURES.md F1).
+
+The sandbox test data has no pages table, so pages are synthesized
+DETERMINISTICALLY from ``documents.parquet`` (doc_id, text, lang, source,
+n_chars) — a pure, seedless function of the input rows, reproduced 1:1 by the
+``PAGES_SQL_CTE`` DuckDB expression below so the correctness oracle sees the
+exact same table. No wall-clock, no randomness (north rule: "no external
+data", deterministic at small scale).
+
+Synthesis rules (keep Python and SQL in lockstep — tests assert equality):
+  url      = https://example.org/{source}/{doc_id}
+  warc_ts  = 2024-01-01T00:00:00Z + doc_id seconds
+  html     = fixed boilerplate template wrapping text in an <article> element
+  text/lang pass through
+  clone rows (near-dup corpus, FIXTURES.md F1 "duplicate pages"):
+    doc_id % 25 == 0  -> extra row url + '?mirror=1' (byte-identical html)
+    doc_id % 31 == 1  -> extra row url + '?v=2' with text + ' extra' (near-dup)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def pa_mod(arr: pa.Array | pa.ChunkedArray, m: int) -> pa.Array:
+    """Vectorized integer modulo (pyarrow 16 has no mod kernel; numpy view is
+    zero-copy for non-null int arrays)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array(arr.to_numpy(zero_copy_only=False) % m)
+
+EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+HTML_PREFIX = (
+    "<html><head><title>example.org</title></head><body>"
+    "<nav>home | about | contact</nav><article>"
+)
+HTML_SUFFIX = "</article><footer>(c) example.org crawl corpus</footer></body></html>"
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("s")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+# DuckDB CTE mirroring the synthesis 1:1 (documents is a pre-registered view).
+PAGES_SQL_CTE = """
+pages AS (
+    SELECT 'https://example.org/' || source || '/' || doc_id AS url,
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+           text, lang
+    FROM documents
+    UNION ALL
+    SELECT 'https://example.org/' || source || '/' || doc_id || '?mirror=1',
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id), text, lang
+    FROM documents WHERE doc_id % 25 = 0
+    UNION ALL
+    SELECT 'https://example.org/' || source || '/' || doc_id || '?v=2',
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id), text || ' extra', lang
+    FROM documents WHERE doc_id % 31 = 1
+)
+""".strip()
+
+
+def _synth_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> pages batch (vectorized, incl. clone rows)."""
+    doc_id_str = pc.cast(batch["doc_id"], pa.string())
+    base_url = pc.binary_join_element_wise(
+        "https://example.org/", batch["source"], "/", doc_id_str, ""
+    )
+    warc_ts = pc.cast(pc.add(pc.cast(batch["doc_id"], pa.int64()), EPOCH_2024), pa.timestamp("s"))
+
+    def build(url, ts, text, lang):
+        html = pc.binary_join_element_wise(HTML_PREFIX, text, HTML_SUFFIX, "")
+        return pa.table(
+            {"url": url, "warc_ts": ts, "html": pc.cast(html, pa.binary()), "text": text, "lang": lang}
+        )
+
+    parts = [build(base_url, warc_ts, batch["text"], batch["lang"])]
+
+    for modulus, residue, suffix, text_suffix in ((25, 0, "?mirror=1", None), (31, 1, "?v=2", " extra")):
+        mask = pc.equal(pa_mod(batch["doc_id"], modulus), residue)
+        if not pc.any(mask).as_py():
+            continue
+        idx = pc.indices_nonzero(mask)
+        text = pc.take(batch["text"], idx)
+        if text_suffix is not None:
+            text = pc.binary_join_element_wise(text, text_suffix, "")
+        parts.append(
+            build(
+                pc.binary_join_element_wise(pc.take(base_url, idx), suffix, ""),
+                pc.take(warc_ts, idx),
+                text,
+                pc.take(batch["lang"], idx),
+            )
+        )
+
+    out = pa.concat_tables(parts)
+    return out.cast(PAGES_SCHEMA)
+
+
+def read_pages(sf_dir: str, *, include_html: bool = True) -> ray.data.Dataset:
+    """Pages Dataset for a scale-factor dir.
+
+    Reads only the needed document columns (prune at the read — the 100 TB
+    analog is read_parquet(pages, columns=[...]) with row filters). With
+    ``include_html=False`` the wide binary column is never materialized at
+    all, for pipelines that start from pre-extracted text (SURVEY.md §7.4:
+    "keep html out of post-extraction datasets").
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    ds = ds.map_batches(_synth_batch, batch_format="pyarrow", zero_copy_batch=True)
+    if not include_html:
+        ds = ds.drop_columns(["html"])
+    return ds

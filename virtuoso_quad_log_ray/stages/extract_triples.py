@@ -1,0 +1,159 @@
+"""M12 + E1 — triple extraction, mention detection and entity linking.
+
+The reference emits quads by scanning a Virtuoso store
+(quad-logger/sql-proc/dump_nquads.sql:44-52); the north_star replaces the
+store with per-page extraction: each page (url, text, lang) yields canonical
+quads (s, p, o, g=url). Extraction semantics are frozen and deterministic so
+the DuckDB oracle can reproduce them exactly (see TRIPLES_SQL in
+pipelines/kg.py):
+
+  metadata triples (one each per page)
+    (<url>, vocab#lang,       "lang")                       [xsd:string suppressed]
+    (<url>, vocab#source,     "source")                      source parsed from url
+    (<url>, vocab#tokenCount, "n"^^xsd:integer)              whitespace tokens
+  mention triples (entity linking, E1)
+    (<url>, vocab#mentions, <entity/Canonical>)  for each DISTINCT canonical
+    entity whose alias surface-form occurs as a token in text.
+
+Entity linking is alias-dictionary candidate generation (north_star): the
+dictionary is a broadcast small side — at sandbox size a module constant;
+at scale it is ``ray.put`` once and resolved in ``TripleExtractor.__init__``
+(once per actor), never per batch. The extractor is an actor-pool
+``map_batches`` class so a real model/tokenizer would load once per actor.
+
+All per-batch work is Arrow-vectorized: tokenize via pc.split_pattern,
+flatten with list_parent_indices, dictionary membership via pc.is_in,
+per-(page, entity) dedup via Arrow hash group_by — no Python loop over rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+VOCAB = "http://example.org/vocab#"
+ENTITY_NS = "http://example.org/entity/"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+
+# Alias dictionary: surface form -> canonical entity. Multiple surfaces per
+# canonical ('join'/'merge', 'sort'/'order') exercise canonicalization.
+ALIAS_PAIRS: list[tuple[str, str]] = [
+    ("spark", "Spark"),
+    ("customer", "Customer"),
+    ("table", "Table"),
+    ("window", "Window"),
+    ("vector", "Vector"),
+    ("stream", "Stream"),
+    ("hash", "Hash"),
+    ("join", "Join"),
+    ("merge", "Join"),
+    ("filter", "Filter"),
+    ("scan", "Scan"),
+    ("sort", "Sort"),
+    ("order", "Sort"),
+    ("group", "Group"),
+    ("query", "Query"),
+]
+
+_URL_SOURCE_PATTERN = r"^https://example\.org/(?P<src>[^/]+)/"
+
+QUADS_SCHEMA = pa.schema(
+    [("s", pa.string()), ("p", pa.string()), ("o", pa.string()), ("g", pa.string())]
+)
+
+
+class TripleExtractor:
+    """Actor-pool stage: (url, text, lang) batches -> (s, p, o, g) batches.
+
+    ``alias_ref`` is an object-store ref to the alias dict (broadcast once via
+    ray.put; every actor resolves it once in __init__ — the reference ships
+    its transform logic to the server once per run the same way,
+    generate-rdfpatch.sh:124-159).
+    """
+
+    def __init__(self, alias_ref: "ray.ObjectRef | None" = None):
+        pairs = ray.get(alias_ref) if alias_ref is not None else ALIAS_PAIRS
+        self._surfaces = pa.array([s for s, _ in pairs], type=pa.string())
+        self._canonicals = pa.array([c for _, c in pairs], type=pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        text = batch["text"]
+        s_iri = pc.binary_join_element_wise("<", url, ">", "")
+
+        # -- metadata triples (vectorized 1:1 with pages) -------------------
+        lang_o = pc.binary_join_element_wise('"', batch["lang"], '"', "")
+        source = pc.struct_field(pc.extract_regex(url, _URL_SOURCE_PATTERN), "src")
+        source_o = pc.binary_join_element_wise('"', pc.fill_null(source, ""), '"', "")
+        tokens = pc.split_pattern(text, " ")
+        n_tokens = pc.cast(pc.list_value_length(tokens), pa.string())
+        count_o = pc.binary_join_element_wise('"', n_tokens, '"^^<' + XSD_INTEGER + ">", "")
+
+        n = len(batch)
+
+        def meta(pred: str, obj) -> pa.Table:
+            return pa.table(
+                {
+                    "s": s_iri,
+                    "p": pa.array([VOCAB + pred] * n, type=pa.string()),
+                    "o": obj,
+                    "g": url,
+                }
+            )
+
+        parts = [
+            meta("lang", lang_o),
+            meta("source", source_o),
+            meta("tokenCount", count_o),
+        ]
+
+        # -- mention triples: flatten -> filter by alias -> canon -> dedup --
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens)
+        hit = pc.is_in(flat, value_set=self._surfaces)
+        flat_hits = pc.filter(flat, hit)
+        parent_hits = pc.filter(parents, hit)
+        canon = pc.take(self._canonicals, pc.index_in(flat_hits, self._surfaces))
+        # distinct (page, canonical) via Arrow hash group-by (vectorized)
+        distinct = pa.table({"i": parent_hits, "canon": canon}).group_by(["i", "canon"]).aggregate([])
+        page_idx = distinct["i"]
+        m = len(distinct)
+        parts.append(
+            pa.table(
+                {
+                    "s": pc.take(s_iri, page_idx),
+                    "p": pa.array([VOCAB + "mentions"] * m, type=pa.string()),
+                    "o": pc.binary_join_element_wise(
+                        "<" + ENTITY_NS, distinct["canon"], ">", ""
+                    ),
+                    "g": pc.take(url, page_idx),
+                }
+            )
+        )
+        return pa.concat_tables(parts).cast(QUADS_SCHEMA)
+
+
+def extract_triples(
+    pages_text: ray.data.Dataset,
+    *,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 2048,
+) -> ray.data.Dataset:
+    """pages (url, text, lang) -> quads (s, p, o, g) via an actor pool.
+
+    The alias dict is broadcast through the object store once (ray.put),
+    not re-shipped per batch.
+    """
+    alias_ref = ray.put(ALIAS_PAIRS)
+    return pages_text.map_batches(
+        TripleExtractor,
+        fn_constructor_kwargs={"alias_ref": alias_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
