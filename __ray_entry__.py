@@ -21,8 +21,13 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from virtuoso_quad_log_ray.config import DEFAULT_CONFIG as cfg
     from virtuoso_quad_log_ray.pipelines import changelog as cl
     from virtuoso_quad_log_ray.pipelines import kg
+    from virtuoso_quad_log_ray.pipelines import relational as rel
+    from virtuoso_quad_log_ray.stages import dedup as dd
+    from virtuoso_quad_log_ray.stages import similarity as sim
+    from virtuoso_quad_log_ray.stages import textstats as tx
 
     return {
         # --- KG construction core (SURVEY.md §2.1-§2.6) ---
@@ -34,12 +39,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chunk_plan": lambda sf: kg.chunk_plan(sf, max_quads_per_file=50),
         "kg_rdfpatch_lines": lambda sf: kg.rdfpatch_lines(sf),
         "kg_changelog": lambda sf: cl.changelog(sf),
+        # --- document dedup suite (D2 / north_star canonicalization) ---
+        "dedup_pages_exact": lambda sf: dd.dedup_pages_exact(sf),
+        "dedup_ngram_jaccard": lambda sf: dd.ngram_jaccard_pairs(sf),
+        "dedup_minhash_lsh": lambda sf: dd.minhash_lsh_pairs(sf),
+        "dedup_simhash": lambda sf: dd.simhash_pairs(sf),
+        # --- text analysis ---
+        "text_quality": lambda sf: tx.text_quality(sf),
+        "text_fingerprints": lambda sf: tx.fingerprints(sf),
+        "text_lang_id": lambda sf: tx.lang_id(sf),
+        # --- similarity search over embeddings ---
+        "ann_topk": lambda sf: sim.ann_topk(sf),
+        "emb_neardup_lsh": lambda sf: sim.embedding_neardup_pairs(sf),
+        # --- relational coverage (filters/aggregates/joins/sort/windows) ---
+        "rel_pricing_summary": lambda sf: rel.pricing_summary(sf),
+        "rel_revenue_by_nation": lambda sf: rel.revenue_by_nation(sf),
+        "rel_top_orders": lambda sf: rel.top_orders(sf),
+        "rel_events_hourly": lambda sf: rel.events_hourly(sf),
+        "rel_latest_event": lambda sf: rel.latest_event_per_user(sf),
+        "rel_filtered_events": lambda sf: rel.filtered_event_stats(sf),
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from virtuoso_quad_log_ray.config import DEFAULT_CONFIG as cfg
     from virtuoso_quad_log_ray.pipelines import changelog as cl
     from virtuoso_quad_log_ray.pipelines import kg
+    from virtuoso_quad_log_ray.pipelines import relational as rel
+    from virtuoso_quad_log_ray.stages import dedup as dd
+    from virtuoso_quad_log_ray.stages import similarity as sim
+    from virtuoso_quad_log_ray.stages import textstats as tx
 
     return {
         "kg_quads": kg.QUADS_SQL,
@@ -50,4 +79,19 @@ def oracle_sql() -> dict[str, str]:
         "kg_chunk_plan": kg.chunk_plan_sql(50),
         "kg_rdfpatch_lines": kg.RDFPATCH_LINES_SQL,
         "kg_changelog": cl.changelog_sql(),
+        "dedup_pages_exact": dd.DEDUP_PAGES_EXACT_SQL,
+        "dedup_ngram_jaccard": dd.ngram_jaccard_sql(
+            cfg.jaccard_threshold, cfg.shingle_size
+        ),
+        # dedup_minhash_lsh / dedup_simhash / text_lang_id / emb_neardup_lsh:
+        # probabilistic or non-SQL-expressible -> rows-only check
+        "text_quality": tx.TEXT_QUALITY_SQL,
+        "text_fingerprints": tx.FINGERPRINTS_SQL,
+        "ann_topk": sim.ann_topk_sql(),
+        "rel_pricing_summary": rel.PRICING_SUMMARY_SQL,
+        "rel_revenue_by_nation": rel.REVENUE_BY_NATION_SQL,
+        "rel_top_orders": rel.top_orders_sql(),
+        "rel_events_hourly": rel.EVENTS_HOURLY_SQL,
+        "rel_latest_event": rel.LATEST_EVENT_SQL,
+        "rel_filtered_events": rel.FILTERED_EVENT_STATS_SQL,
     }

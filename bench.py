@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and prints ONE JSON line:
+
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "quads": Q, "quads_per_sec": R}
+
+--scaling: runs the headline KG pipeline twice in FRESH subprocesses
+(num_cpus=8 then 32) on identical input and reports both throughputs plus
+scaling efficiency (the north_rule's N -> 4N criterion, evidenced in-sandbox
+per BASELINE.md).
+
+The headline pipeline is the full KG construction chain on a replicated
+pages corpus (read -> synthesize html -> extract text -> extract+link
+triples -> count), i.e. every record crosses the whole extraction data
+plane. Replication inflates sf0.1's 5,000 docs deterministically so the
+measurement is not overhead-bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "20"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def headline_quads(sf_dir: str, replicate: int) -> int:
+    """Full KG extraction chain; returns quad count (consumes the stream)."""
+    from virtuoso_quad_log_ray.sources.pages import read_pages
+    from virtuoso_quad_log_ray.stages.extract_text import extract_text
+    from virtuoso_quad_log_ray.stages.extract_triples import extract_triples
+
+    pages = read_pages(sf_dir, replicate=replicate)
+    quads = extract_triples(extract_text(pages))
+    return quads.count()
+
+
+def run_suite() -> dict:
+    from virtuoso_quad_log_ray.pipelines import changelog as cl
+    from virtuoso_quad_log_ray.pipelines import kg
+    from virtuoso_quad_log_ray.pipelines import relational as rel
+    from virtuoso_quad_log_ray.stages import dedup as dd
+    from virtuoso_quad_log_ray.stages import similarity as sim
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return n
+
+    t0 = time.perf_counter()
+    quads = headline_quads(SF_DIR, REPLICATE)
+    headline_sec = round(time.perf_counter() - t0, 3)
+    timings["kg_quads_headline"] = headline_sec
+
+    timed("kg_changelog", lambda: cl.changelog(SF_DIR).count())
+    timed("kg_dedup_exact", lambda: kg.dedup_quads(kg.build_quads(SF_DIR)).count())
+    timed("kg_chunk_plan", lambda: kg.chunk_plan(SF_DIR, max_quads_per_file=50).count())
+    timed("dedup_ngram_jaccard", lambda: dd.ngram_jaccard_pairs(SF_DIR).count())
+    timed("dedup_minhash_lsh", lambda: dd.minhash_lsh_pairs(SF_DIR).count())
+    timed("ann_topk", lambda: sim.ann_topk(SF_DIR).count())
+    timed("rel_pricing_summary", lambda: rel.pricing_summary(SF_DIR).count())
+    timed("rel_events_hourly", lambda: rel.events_hourly(SF_DIR).count())
+
+    return {
+        "metric": "kg_construction_end_to_end",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "quads": quads,
+        "quads_per_sec": round(quads / headline_sec, 1),
+        "replicate": REPLICATE,
+    }
+
+
+def _scaling_child(num_cpus: int) -> dict:
+    """Run ONLY the headline pipeline in this process; print JSON."""
+    _init_ray(num_cpus)
+    import ray
+
+    t0 = time.perf_counter()
+    quads = headline_quads(SF_DIR, REPLICATE)
+    sec = time.perf_counter() - t0
+    ray.shutdown()
+    return {"num_cpus": num_cpus, "sec": round(sec, 3), "quads": quads,
+            "quads_per_sec": round(quads / sec, 1)}
+
+
+def run_scaling() -> dict:
+    results = []
+    for n in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(n)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results.append(json.loads(line))
+    low, high = results
+    speedup = high["quads_per_sec"] / low["quads_per_sec"]
+    efficiency = speedup / (high["num_cpus"] / low["num_cpus"])
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(efficiency, 3),
+        "unit": "efficiency",
+        "runs": results,
+        "speedup": round(speedup, 2),
+        "sf": SF_DIR,
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
+        print(json.dumps(_scaling_child(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        print(json.dumps(run_scaling()))
+        return
+    _init_ray(NUM_CPUS)
+    import ray
+
+    result = run_suite()
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

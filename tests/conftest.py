@@ -41,9 +41,11 @@ def to_arrow(result):
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return pa.concat_tables(
-            [ray.get(r) for r in result.to_arrow_refs()]
-        ).combine_chunks()
+        tables = [ray.get(r) for r in result.to_arrow_refs()]
+        # aggregate stages can emit empty blocks with an empty schema;
+        # driver-side conversions (to_pandas/take_all) skip them, we do too
+        tables = [t for t in tables if t.num_columns > 0]
+        return pa.concat_tables(tables).combine_chunks()
     if isinstance(result, pd.DataFrame):
         return pa.Table.from_pandas(result, preserve_index=False)
     return result

@@ -1,0 +1,53 @@
+"""Dedup suite: exact/ngram vs DuckDB oracle; minhash/simhash properties."""
+
+import pytest
+
+from tests.conftest import SF_SMALL, assert_matches_oracle, to_arrow
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG as cfg
+from virtuoso_quad_log_ray.stages import dedup as dd
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact(self, oracle):
+        assert_matches_oracle(
+            dd.dedup_pages_exact(SF_SMALL), oracle, dd.DEDUP_PAGES_EXACT_SQL, ["keeper_url"]
+        )
+
+    def test_exact_finds_mirror_clones(self):
+        t = to_arrow(dd.dedup_pages_exact(SF_SMALL))
+        import pyarrow.compute as pc
+
+        # doc_id % 25 == 0 rows have byte-identical mirror clones -> n_copies == 2
+        assert pc.sum(pc.equal(t["n_copies"], 2)).as_py() == 20
+
+    def test_ngram_jaccard_exact(self, oracle):
+        assert_matches_oracle(
+            dd.ngram_jaccard_pairs(SF_SMALL),
+            oracle,
+            dd.ngram_jaccard_sql(cfg.jaccard_threshold, cfg.shingle_size),
+            ["url_a", "url_b"],
+        )
+
+    def test_minhash_recall_vs_exact(self):
+        """LSH candidates must cover the exact J>=tau pairs (16 bands x 4 rows
+        => recall ~1 at tau=0.8 on this corpus) and estimates agree with the
+        banding guarantee."""
+        exact = to_arrow(dd.ngram_jaccard_pairs(SF_SMALL))
+        mh = to_arrow(dd.minhash_lsh_pairs(SF_SMALL))
+        exact_pairs = set(zip(exact["url_a"].to_pylist(), exact["url_b"].to_pylist()))
+        mh_pairs = set(zip(mh["url_a"].to_pylist(), mh["url_b"].to_pylist()))
+        missed = exact_pairs - mh_pairs
+        assert len(missed) <= max(1, len(exact_pairs) // 20), f"LSH missed {len(missed)}"
+
+    def test_simhash_clones_have_zero_distance(self):
+        t = to_arrow(dd.simhash_pairs(SF_SMALL))
+        pairs = {
+            (a, b): h
+            for a, b, h in zip(
+                t["url_a"].to_pylist(), t["url_b"].to_pylist(), t["hamming"].to_pylist()
+            )
+        }
+        # every exact mirror clone pair must appear with hamming 0
+        zero = [h for h in pairs.values() if h == 0]
+        assert len(zero) >= 20

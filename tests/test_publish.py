@@ -1,0 +1,178 @@
+"""Publication layer: manifest-commit atomicity, epoch handshake, rdfpatch
+file sink, and the 4 incremental-bundling scenarios mirrored from the
+reference's only real test suite
+(resourcesync-generator/oai-rs/test/test_zipsynchronizer.py:25-94)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from virtuoso_quad_log_ray.config import EngineConfig
+from virtuoso_quad_log_ray.pipelines.publish import Bundler, write_rdfpatch
+from virtuoso_quad_log_ray.rdfpatch import graph_b64, parse_patch_text
+from virtuoso_quad_log_ray.state import checkpoint as ckpt
+from virtuoso_quad_log_ray.state.manifest import (
+    FileEntry,
+    RunManifest,
+    commit_manifest,
+    load_manifest,
+)
+
+
+def _mk_manifest(root, n_files, epoch="20240101000000"):
+    """Commit a manifest of n synthetic committed files (bodies on disk)."""
+    files = []
+    os.makedirs(root, exist_ok=True)
+    for i in range(n_files):
+        rel = f"g/rdf_out_00000000000000-{i:014d}"
+        os.makedirs(os.path.join(root, "g"), exist_ok=True)
+        body = f"# at checkpoint  00000000000000\n+ <s{i}> <p> \"o\" <http://g> .\n"
+        with open(os.path.join(root, rel), "w") as f:
+            f.write(body)
+        files.append(FileEntry(rel, "http://g", 1, "x", len(body)))
+    m = RunManifest(epoch=epoch, checkpoint="00000000000000", kind="dump", files=files,
+                    quad_count=n_files, file_count=n_files)
+    commit_manifest(root, m)
+    return m
+
+
+class TestManifest:
+    def test_commit_and_load_roundtrip(self, tmp_path):
+        root = str(tmp_path / "sink")
+        m = _mk_manifest(root, 3)
+        loaded = load_manifest(root)
+        assert loaded is not None
+        assert [f.name for f in loaded.files] == [f.name for f in m.files]
+        assert loaded.quad_count == 3
+
+    def test_uncommitted_invisible(self, tmp_path):
+        root = str(tmp_path / "sink")
+        os.makedirs(root)
+        # data file exists but no manifest pointer -> reader sees nothing
+        with open(os.path.join(root, "rdf_out_x"), "w") as f:
+            f.write("+ <s> <p> \"o\" <g> .\n")
+        assert load_manifest(root) is None
+
+
+class TestHandshake:
+    def test_same_epoch_noop(self, tmp_path):
+        root = str(tmp_path / "sink")
+        ckpt.write_epoch(root, "E1")
+        with open(os.path.join(root, "rdf_out_a"), "w") as f:
+            f.write("x")
+        assert ckpt.verify_handshake(root, "E1") is True
+        assert os.path.exists(os.path.join(root, "rdf_out_a"))
+
+    def test_epoch_mismatch_wipes_only_ours(self, tmp_path):
+        """T2 wipe-and-rebuild with the F9 ownership guard
+        (split-graphs.sh:153-184; syncdirector.py:251-261)."""
+        root = str(tmp_path / "sink")
+        ckpt.write_epoch(root, "E1")
+        ours = os.path.join(root, "rdf_out_a")
+        ours_dir = os.path.join(root, graph_b64("http://example.org/g"))
+        foreign = os.path.join(root, "keepme.txt")
+        os.makedirs(ours_dir)
+        for p in (ours, foreign):
+            with open(p, "w") as f:
+                f.write("x")
+        assert ckpt.verify_handshake(root, "E2") is False
+        assert not os.path.exists(ours)
+        assert not os.path.exists(ours_dir)
+        assert os.path.exists(foreign)  # never delete foreign data
+        assert ckpt.read_epoch(root) == "E2"
+
+    def test_cursor_roundtrip(self, tmp_path):
+        root = str(tmp_path / "s")
+        assert ckpt.read_cursor(root) is None
+        ckpt.write_cursor(root, "20240101010101")
+        assert ckpt.read_cursor(root) == "20240101010101"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRdfpatchSink:
+    def test_write_chunked_files_and_manifest(self, tmp_path):
+        root = str(tmp_path / "out")
+        rows = {
+            "op": ["+"] * 7,
+            "s": [f"<http://s/{i}>" for i in range(7)],
+            "p": ["<http://p>"] * 7,
+            "o": ['"v"'] * 7,
+            "g": ["http://hot"] * 5 + ["http://cold"] * 2,
+        }
+        ds = ray.data.from_arrow(pa.table(rows))
+        cfg = EngineConfig(max_quads_per_file=2)
+        m = write_rdfpatch(ds, root, epoch="E1", checkpoint="20240101000000", cfg=cfg)
+        # hot graph: 5 quads / maxq 2 -> 3 files; cold: 1 file
+        assert m.file_count == 4
+        assert m.quad_count == 7
+        hot_dir = os.path.join(root, graph_b64("http://hot"))
+        assert len(os.listdir(hot_dir)) == 3
+        # parse a file back: header + body round-trip
+        first = sorted(os.listdir(hot_dir))[0]
+        with open(os.path.join(hot_dir, first)) as f:
+            quads, meta = parse_patch_text(f.read())
+        assert meta["graph"] == "http://hot"
+        assert meta["at checkpoint"] == "20240101000000"
+        assert int(meta["amount"]) == len(quads) == 2
+        # manifest is the committed view
+        loaded = load_manifest(root)
+        assert loaded.file_count == 4
+        assert {e.graph for e in loaded.files} == {"http://hot", "http://cold"}
+
+
+class TestBundlerScenarios:
+    """The 4 reference scenarios (test_zipsynchronizer.py:25-94)."""
+
+    def test_publish_zero_resources(self, tmp_path):
+        src, pub = str(tmp_path / "src"), str(tmp_path / "pub")
+        os.makedirs(src)
+        st = Bundler(src, pub, max_files=2).publish()
+        assert os.path.isdir(pub)  # sink created
+        assert (st.def_count, st.end_count) == (0, 0)  # nothing published
+
+    def test_not_publish_uncommitted_file(self, tmp_path):
+        """Reference: the single (possibly in-flight) file is not published;
+        here: a file outside the committed manifest is invisible."""
+        src, pub = str(tmp_path / "src"), str(tmp_path / "pub")
+        os.makedirs(src)
+        with open(os.path.join(src, "rdf_out_00000000000000-00000000000000"), "w") as f:
+            f.write("+ <s> <p> \"o\" <g> .\n")  # no manifest commit
+        st = Bundler(src, pub, max_files=2).publish()
+        assert (st.def_count, st.end_count) == (0, 0)
+
+    def test_publish_dump_files(self, tmp_path):
+        """3 committed files, max_files large -> exactly one provisional
+        end-zip holding all 3."""
+        src, pub = str(tmp_path / "src"), str(tmp_path / "pub")
+        _mk_manifest(src, 3)
+        st = Bundler(src, pub, max_files=5).publish()
+        assert (st.def_count, st.end_count) == (0, 1)
+
+    def test_publish_incremental_zips(self, tmp_path):
+        """max_files=2; grow source 4 -> 5 -> 6 files: def/end transition
+        2/0 -> 2/1 -> 3/0 (sealing of provisional bundles)."""
+        src, pub = str(tmp_path / "src"), str(tmp_path / "pub")
+        b = Bundler(src, pub, max_files=2)
+        _mk_manifest(src, 4)
+        st = b.publish()
+        assert (st.def_count, st.end_count) == (2, 0)
+        _mk_manifest(src, 5)
+        st = b.publish()
+        assert (st.def_count, st.end_count) == (2, 1)
+        _mk_manifest(src, 6)
+        st = b.publish()
+        assert (st.def_count, st.end_count) == (3, 0)
+
+    def test_unchanged_remainder_not_rewritten(self, tmp_path):
+        """is_same skip (zipsynchronizer.py:149): same remainder -> the end
+        zip is not recreated."""
+        src, pub = str(tmp_path / "src"), str(tmp_path / "pub")
+        b = Bundler(src, pub, max_files=2)
+        _mk_manifest(src, 3)
+        b.publish()
+        end = [n for n in os.listdir(pub) if n.startswith("part_end_")][0]
+        mtime = os.path.getmtime(os.path.join(pub, end))
+        b.publish()
+        assert os.path.getmtime(os.path.join(pub, end)) == mtime

@@ -1,0 +1,74 @@
+"""Relational coverage, text analysis, similarity search vs DuckDB oracles."""
+
+import pytest
+
+from tests.conftest import SF_SMALL, assert_matches_oracle, to_arrow
+from virtuoso_quad_log_ray.pipelines import relational as rel
+from virtuoso_quad_log_ray.stages import similarity as sim
+from virtuoso_quad_log_ray.stages import textstats as tx
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelational:
+    def test_pricing_summary(self, oracle):
+        assert_matches_oracle(
+            rel.pricing_summary(SF_SMALL), oracle, rel.PRICING_SUMMARY_SQL,
+            ["l_returnflag", "l_linestatus"],
+        )
+
+    def test_revenue_by_nation(self, oracle):
+        assert_matches_oracle(
+            rel.revenue_by_nation(SF_SMALL), oracle, rel.REVENUE_BY_NATION_SQL, ["n_name"]
+        )
+
+    def test_top_orders(self, oracle):
+        assert_matches_oracle(
+            rel.top_orders(SF_SMALL), oracle, rel.top_orders_sql(), ["o_orderkey"]
+        )
+
+    def test_events_hourly(self, oracle):
+        assert_matches_oracle(
+            rel.events_hourly(SF_SMALL), oracle, rel.EVENTS_HOURLY_SQL, ["hour", "event_type"]
+        )
+
+    def test_latest_event(self, oracle):
+        assert_matches_oracle(
+            rel.latest_event_per_user(SF_SMALL), oracle, rel.LATEST_EVENT_SQL, ["user_id"]
+        )
+
+    def test_filtered_events(self, oracle):
+        assert_matches_oracle(
+            rel.filtered_event_stats(SF_SMALL), oracle, rel.FILTERED_EVENT_STATS_SQL,
+            ["event_type"],
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextStats:
+    def test_text_quality(self, oracle):
+        assert_matches_oracle(tx.text_quality(SF_SMALL), oracle, tx.TEXT_QUALITY_SQL, ["url"])
+
+    def test_fingerprints(self, oracle):
+        assert_matches_oracle(tx.fingerprints(SF_SMALL), oracle, tx.FINGERPRINTS_SQL, ["url"])
+
+    def test_lang_id_runs_and_is_deterministic(self):
+        a = to_arrow(tx.lang_id(SF_SMALL))
+        b = to_arrow(tx.lang_id(SF_SMALL))
+        assert len(a) == 537
+        da = dict(zip(a["url"].to_pylist(), a["lang_pred"].to_pylist()))
+        db = dict(zip(b["url"].to_pylist(), b["lang_pred"].to_pylist()))
+        assert da == db
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def test_ann_topk(self, oracle):
+        assert_matches_oracle(
+            sim.ann_topk(SF_SMALL), oracle, sim.ann_topk_sql(), ["query_id", "rank"]
+        )
+
+    def test_emb_neardup_runs(self):
+        t = to_arrow(sim.embedding_neardup_pairs(SF_SMALL))
+        # rows-only: pairs (possibly none at high threshold); all verified >= tau
+        if len(t):
+            assert min(t["cos_ppm"].to_pylist()) >= 450_000

@@ -32,6 +32,7 @@ import ray.data
 
 from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
 from virtuoso_quad_log_ray.pipelines.kg import QUADS_SQL_CTE, quad_key
+from virtuoso_quad_log_ray.stages.shuffle import join_kwargs
 from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE, pa_mod
 from virtuoso_quad_log_ray.stages.extract_triples import extract_triples
 
@@ -93,7 +94,6 @@ def diff_quads(
     asking for more partitions than cores deadlocks a small cluster and
     oversubscribes a big one.
     """
-    n_parts = _join_partitions(cfg)
 
     def keyed(marker: str):
         def fn(b: pa.Table) -> pa.Table:
@@ -106,7 +106,7 @@ def diff_quads(
 
     new_k = new.map_batches(keyed("in_new"), batch_format="pyarrow", zero_copy_batch=True)
     prev_k = prev.map_batches(keyed("in_prev"), batch_format="pyarrow", zero_copy_batch=True)
-    joined = new_k.join(prev_k, join_type="full_outer", num_partitions=n_parts, on=("qk",))
+    joined = new_k.join(prev_k, join_type="full_outer", on=("qk",), **join_kwargs(cfg))
 
     def to_changelog(batch: pa.Table) -> pa.Table:
         added = pc.is_null(batch["in_prev"])
@@ -124,15 +124,6 @@ def diff_quads(
         return pa.table(cols)
 
     return joined.map_batches(to_changelog, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def _join_partitions(cfg: EngineConfig) -> int:
-    """min(configured, live cluster CPUs), >= 2."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(2, min(cfg.num_shuffle_partitions, cpus // 2))
 
 
 def changelog(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:

@@ -1,0 +1,256 @@
+"""Publication layer: rdfpatch file sink + incremental zip bundling.
+
+Data plane (distributed): ``write_rdfpatch`` renders and writes per-graph
+chunked rdfpatch text files — one ``groupby('g').map_groups`` shuffle doing
+what THREE reference components did serially:
+
+  * per-graph buffering + maxq chunking (vql_buffer_nquad,
+    quad-logger/sql-proc/buffer_nquads.sql:8-29; MAX_QUADS_PER_FILE
+    generate-rdfpatch.sh:15-16),
+  * header emission (# at checkpoint / # graph / # base64 / # amount,
+    buffer_nquads.sql:53-58),
+  * the graph-splitter's dir-per-graph move (split-graphs.sh:73-141) —
+    files land directly in ``<b64(graph)>/rdf_out_<ts14>-<seq>``.
+
+Atomicity: files are written to ``*.part`` and renamed, and become visible
+only through the committed manifest (state/manifest.py) — the sham-sentinel
+protocol (T3) without sentinel races. Each map_groups task returns the
+FileEntry metadata of what it wrote; the driver commits the manifest last.
+A failed run leaves orphan .part/renamed files that no reader ever lists
+(T5 rollback for free).
+
+Driver plane (metadata-sized): ``Bundler`` reproduces the resourcesync
+zip state machine (zipsynchronizer.py:111-173): full chunks seal into
+immutable ``part_def_N.zip``; the remainder is a provisional
+``part_end_N.zip`` replaced on the next run; unchanged remainder skips
+re-publish (is_same, zipsynchronizer.py:149); sitemap-style metadata is a
+JSON/XML doc per bundle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zipfile
+from dataclasses import dataclass
+
+import pyarrow as pa
+import ray.data
+
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.rdfpatch import (
+    TS14_ZERO,
+    graph_b64,
+    patch_file_name,
+    render_file_header,
+    render_patch_lines,
+)
+from virtuoso_quad_log_ray.state.manifest import (
+    FileEntry,
+    RunManifest,
+    commit_manifest,
+    load_manifest,
+)
+
+
+def write_rdfpatch(
+    changelog: ray.data.Dataset,
+    out_root: str,
+    *,
+    epoch: str,
+    checkpoint: str = TS14_ZERO,
+    kind: str = "dump",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    run_index: int = 0,
+    last_source: str = "",
+) -> RunManifest:
+    """Distributed rdfpatch write + manifest commit.
+
+    ``changelog`` columns: (op, s, p, o, g) — for dumps pass op='+' rows
+    (dump_nquads.sql:51 emits only assertions).
+    """
+    maxq = cfg.max_quads_per_file
+    os.makedirs(out_root, exist_ok=True)
+
+    def write_graph(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g_iri = group["g"][0].as_py()
+        b64 = graph_b64(g_iri)
+        gdir = os.path.join(out_root, b64)
+        os.makedirs(gdir, exist_ok=True)
+        order = pc.sort_indices(
+            group, sort_keys=[("op", "ascending"), ("s", "ascending"), ("p", "ascending"), ("o", "ascending")]
+        )
+        t = group.take(order)
+        lines = render_patch_lines(t["op"], t["s"], t["p"], t["o"], t["g"]).to_pylist()
+        entries = {"name": [], "graph": [], "amount": [], "md5": [], "length": []}
+        for seq, start in enumerate(range(0, len(lines), maxq)):
+            chunk = lines[start : start + maxq]
+            body = render_file_header(checkpoint, g_iri, len(chunk)) + "\n".join(chunk) + "\n"
+            data = body.encode("utf-8")
+            fname = patch_file_name(checkpoint, seq)
+            final = os.path.join(gdir, fname)
+            part = final + ".part"
+            with open(part, "wb") as f:
+                f.write(data)
+            os.replace(part, final)  # atomic per file; visibility via manifest
+            entries["name"].append(f"{b64}/{fname}")
+            entries["graph"].append(g_iri)
+            entries["amount"].append(len(chunk))
+            entries["md5"].append(hashlib.md5(data).hexdigest())
+            entries["length"].append(len(data))
+        return pa.table(
+            {
+                "name": pa.array(entries["name"], type=pa.string()),
+                "graph": pa.array(entries["graph"], type=pa.string()),
+                "amount": pa.array(entries["amount"], type=pa.int64()),
+                "md5": pa.array(entries["md5"], type=pa.string()),
+                "length": pa.array(entries["length"], type=pa.int64()),
+            }
+        )
+
+    # The shuffle writes data files; only file METADATA flows back (small).
+    meta = changelog.groupby("g").map_groups(write_graph, batch_format="pyarrow").take_all()
+
+    prev = load_manifest(out_root)
+    files = [FileEntry(r["name"], r["graph"], int(r["amount"]), r["md5"], int(r["length"])) for r in meta]
+    files.sort(key=lambda e: e.name)
+    quad_count = sum(e.amount for e in files)
+    manifest = RunManifest(
+        epoch=epoch,
+        checkpoint=checkpoint,
+        kind=kind,
+        quad_count=quad_count,
+        file_count=len(files),
+        run_index=run_index,
+        last_source=last_source,
+        total_quads=(prev.total_quads if prev else 0) + quad_count,
+        total_files=(prev.total_files if prev else 0) + len(files),
+        files=(prev.files if prev else []) + files,
+    )
+    commit_manifest(out_root, manifest)
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# Incremental bundler (driver-side; zipsynchronizer.py state machine)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BundleState:
+    def_count: int
+    end_count: int  # 0 or 1 (single-zip-end invariant, zipsynchronizer.py:244-247)
+
+
+class Bundler:
+    """Sealed/open zip bundle publisher over a committed manifest.
+
+    publish() is idempotent per manifest state:
+      - groups of exactly ``max_files`` committed files seal into
+        ``part_def_<n>.zip`` (immutable once written);
+      - the remainder (< max_files) becomes provisional ``part_end_<n>.zip``,
+        deleted + re-created when the remainder changes, skipped when not
+        (zipsynchronizer.py:136-156);
+      - files not in a committed manifest are never published (the reference
+        excluded the alphabetically-last, possibly-in-flight file —
+        synchronizer.py:157-163).
+    """
+
+    def __init__(self, source_root: str, publish_root: str, *, max_files: int = 2):
+        self.source_root = source_root
+        self.publish_root = publish_root
+        self.max_files = max_files
+
+    # -- state inspection ---------------------------------------------------
+
+    def state(self) -> BundleState:
+        if not os.path.isdir(self.publish_root):
+            return BundleState(0, 0)
+        names = os.listdir(self.publish_root)
+        return BundleState(
+            def_count=sum(1 for n in names if n.startswith("part_def_") and n.endswith(".zip")),
+            end_count=sum(1 for n in names if n.startswith("part_end_") and n.endswith(".zip")),
+        )
+
+    def _end_zip(self) -> str | None:
+        if not os.path.isdir(self.publish_root):
+            return None
+        ends = sorted(
+            n for n in os.listdir(self.publish_root) if n.startswith("part_end_") and n.endswith(".zip")
+        )
+        assert len(ends) <= 1, "single-zip-end invariant violated"
+        return ends[0] if ends else None
+
+    # -- publication --------------------------------------------------------
+
+    def publish(self) -> BundleState:
+        os.makedirs(self.publish_root, exist_ok=True)
+        manifest = load_manifest(self.source_root)
+        if manifest is None or not manifest.files:
+            return self.state()  # zero resources: sink exists, nothing published
+
+        names = [e.name for e in manifest.files]
+        already_sealed = self.state().def_count
+        chunks = [names[i : i + self.max_files] for i in range(0, len(names), self.max_files)]
+        full = [c for c in chunks if len(c) == self.max_files]
+        remainder = [c for c in chunks if len(c) < self.max_files]
+        remainder_names = remainder[0] if remainder else []
+
+        try:
+            # seal new full chunks (skip ones already sealed)
+            for idx, chunk in enumerate(full):
+                if idx < already_sealed:
+                    continue
+                self._write_zip(f"part_def_{idx:05d}.zip", chunk)
+
+            # provisional end zip: replace iff contents changed
+            prev_end = self._end_zip()
+            prev_list = self._zip_contents(prev_end) if prev_end else []
+            if prev_list != remainder_names:
+                if prev_end:
+                    os.remove(os.path.join(self.publish_root, prev_end))
+                    meta = os.path.join(self.publish_root, prev_end + ".meta.json")
+                    if os.path.exists(meta):
+                        os.remove(meta)
+                if remainder_names:
+                    self._write_zip(f"part_end_{len(full):05d}.zip", remainder_names)
+        except Exception:
+            # T5 rollback: remove provisional artifacts, keep sealed ones
+            end = self._end_zip()
+            if end:
+                os.remove(os.path.join(self.publish_root, end))
+            raise
+        return self.state()
+
+    # -- helpers ------------------------------------------------------------
+
+    def _write_zip(self, zip_name: str, file_names: list[str]) -> None:
+        """Bundle + embedded manifest + sidecar metadata (resource-dump.xml /
+        capability-list.xml analog, zipsynchronizer.py:175-232)."""
+        import json
+
+        final = os.path.join(self.publish_root, zip_name)
+        part = final + ".part"
+        with zipfile.ZipFile(part, "w", zipfile.ZIP_DEFLATED) as z:
+            listing = []
+            for rel in file_names:
+                src = os.path.join(self.source_root, rel)
+                z.write(src, arcname=rel)
+                listing.append(rel)
+            z.writestr("manifest.json", json.dumps({"resources": listing}, indent=1))
+        os.replace(part, final)
+        with open(final, "rb") as f:
+            digest = hashlib.md5(f.read()).hexdigest()
+        meta = {
+            "zip": zip_name,
+            "md5": digest,
+            "length": os.path.getsize(final),
+            "resources": file_names,
+        }
+        with open(final + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=1)
+
+    def _zip_contents(self, zip_name: str) -> list[str]:
+        with zipfile.ZipFile(os.path.join(self.publish_root, zip_name)) as z:
+            return [n for n in z.namelist() if n != "manifest.json"]

@@ -110,7 +110,9 @@ def _synth_batch(batch: pa.Table) -> pa.Table:
     return out.cast(PAGES_SCHEMA)
 
 
-def read_pages(sf_dir: str, *, include_html: bool = True) -> ray.data.Dataset:
+def read_pages(
+    sf_dir: str, *, include_html: bool = True, replicate: int = 1
+) -> ray.data.Dataset:
     """Pages Dataset for a scale-factor dir.
 
     Reads only the needed document columns (prune at the read — the 100 TB
@@ -122,6 +124,24 @@ def read_pages(sf_dir: str, *, include_html: bool = True) -> ray.data.Dataset:
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
+    if replicate > 1:
+        # Benchmark-scale corpus inflation (deterministic): R distinct crawls
+        # of every document under distinct urls. Queries/oracles never use
+        # this; bench.py does, so throughput is measured past fixed overheads.
+        r = replicate
+
+        def inflate(batch: pa.Table) -> pa.Table:
+            parts = []
+            for k in range(r):
+                t = batch.set_column(
+                    batch.schema.get_field_index("source"),
+                    "source",
+                    pc.binary_join_element_wise(batch["source"], f"-r{k}", ""),
+                )
+                parts.append(t)
+            return pa.concat_tables(parts)
+
+        ds = ds.map_batches(inflate, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(_synth_batch, batch_format="pyarrow", zero_copy_batch=True)
     if not include_html:
         ds = ds.drop_columns(["html"])

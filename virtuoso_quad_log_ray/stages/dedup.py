@@ -1,0 +1,489 @@
+"""Near/exact document deduplication — the canonicalization layer (D2).
+
+The reference's only dedup is the trx-echo table-id filter
+(quad-logger/sql-proc/parse_trx_logs.sql:102-109); at web scale the engine
+needs document-level dedup before extraction (north_star: "MinHash-LSH +
+union-find canonicalization executed as groupby-aggregate shuffles").
+
+Four operators over the pages table, all shuffle-based and vectorized:
+
+  exact        hash-partition on content digest, keep min(url) per group
+  ngram        EXACT word-n-gram Jaccard pairs via a shingle inverted-index
+               self-join (the verify stage of any LSH pipeline; has a DuckDB
+               oracle)
+  minhash-lsh  64-perm MinHash, banded LSH bucketing, candidate pairs
+               verified by signature agreement (scale path; rows-only check)
+  simhash      64-bit SimHash + 4x16-bit band blocking, Hamming<=k pairs
+
+Skew note (north_rule's named hazard): ultra-frequent shingles create hot
+inverted-index buckets whose pair set is quadratic. ``max_shingle_freq``
+drops shingles above a document-frequency cap — a standard, documented
+approximation (popular boilerplate shingles carry no dedup signal). The
+oracle-checked configuration keeps it disabled so results stay exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE, read_pages
+from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs, join_kwargs, self_join_input
+
+_SEP = "\x1f"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_pages_exact(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Exact dedup: one group per distinct text; keeper = min(url).
+
+    The group key is the md5 digest of the text, so the shuffle ships a
+    16-byte key + url instead of whole documents; group payloads are tiny
+    regardless of document size.
+    """
+    pages = read_pages(sf_dir, include_html=False)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"k": pa.array(keys, type=pa.string()), "url": batch["url"]})
+
+    keyed = pages.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+    # Min/Count pre-aggregate per block before the shuffle (no per-group
+    # Python loop — map_groups over millions of groups would serialize).
+    from ray.data.aggregate import Count, Min
+
+    agg = keyed.groupby("k").aggregate(Min("url"), Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "keeper_url": batch["min(url)"],
+                "n_copies": pc.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DEDUP_PAGES_EXACT_SQL = (
+    "WITH " + PAGES_SQL_CTE + "\n"
+    "SELECT min(url) AS keeper_url, count(*) AS n_copies FROM pages GROUP BY text"
+)
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by ngram / minhash)
+# ---------------------------------------------------------------------------
+
+def _shingle_batch(batch: pa.Table, n: int) -> tuple[list[str], list[list[str]]]:
+    """-> (urls, per-url DISTINCT word-n-gram list). Python loop is over
+    documents (not tokens); the inner join is numpy-free string slicing which
+    is what DuckDB's oracle does too."""
+    urls = batch["url"].to_pylist()
+    out: list[list[str]] = []
+    for text in batch["text"].to_pylist():
+        w = text.split(" ")
+        seen = list(dict.fromkeys(" ".join(w[i : i + n]) for i in range(len(w) - n + 1)))
+        out.append(seen)
+    return urls, out
+
+
+def _shingle_rows(sf_dir: str, n: int) -> ray.data.Dataset:
+    """pages -> rows (url, shingle, size) where size = |distinct shingles|."""
+    pages = read_pages(sf_dir, include_html=False)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, shingle_lists = _shingle_batch(batch, n)
+        u, s, z = [], [], []
+        for url, shingles in zip(urls, shingle_lists):
+            u.extend([url] * len(shingles))
+            s.extend(shingles)
+            z.extend([len(shingles)] * len(shingles))
+        return pa.table(
+            {
+                "url": pa.array(u, type=pa.string()),
+                "shingle": pa.array(s, type=pa.string()),
+                "size": pa.array(z, type=pa.int64()),
+            }
+        )
+
+    return pages.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    threshold: float | None = None,
+    shingle_size: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs (url_a < url_b, J >= threshold).
+
+    Inverted-index self-join: (url, shingle, size) ⋈ shingle -> co-occurring
+    page pairs; groupby(pair).count() = |intersection| (partial-aggregated
+    before the shuffle); J = inter / (size_a + size_b - inter). Sizes ride
+    inside the pair key so no second lookup join is needed. Reported
+    ``jaccard_ppm`` is an integer (round(J*1e6)) so the value-hash is immune
+    to float formatting.
+    """
+    tau = threshold if threshold is not None else cfg.jaccard_threshold
+    n = shingle_size if shingle_size is not None else cfg.shingle_size
+    rows = self_join_input(_shingle_rows(sf_dir, n))
+    joined = rows.join(
+        rows,
+        join_type="inner",
+        on=("shingle",),
+        **join_kwargs(cfg),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["url_l"], batch["url_r"])
+        b = batch.filter(keep)
+        key = pc.binary_join_element_wise(
+            b["url_l"],
+            b["url_r"],
+            pc.cast(b["size_l"], pa.string()),
+            pc.cast(b["size_r"], pa.string()),
+            _SEP,
+        )
+        return pa.table({"pair": key})
+
+    pairs = joined.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
+    counted = pairs.groupby("pair").count()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "url_a": pa.array([], type=pa.string()),
+                    "url_b": pa.array([], type=pa.string()),
+                    "jaccard_ppm": pa.array([], type=pa.int64()),
+                }
+            )
+        parts = pc.split_pattern(batch["pair"], _SEP)
+        url_a = pc.list_element(parts, 0)
+        url_b = pc.list_element(parts, 1)
+        size_a = pc.cast(pc.list_element(parts, 2), pa.int64()).to_numpy()
+        size_b = pc.cast(pc.list_element(parts, 3), pa.int64()).to_numpy()
+        inter = batch["count()"].to_numpy()
+        j = inter / (size_a + size_b - inter)
+        keep = j >= tau
+        return pa.table(
+            {
+                "url_a": pc.filter(url_a, pa.array(keep)),
+                "url_b": pc.filter(url_b, pa.array(keep)),
+                "jaccard_ppm": pa.array(np.round(j[keep] * 1e6).astype(np.int64)),
+            }
+        )
+
+    return counted.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_jaccard_sql(threshold: float, shingle_size: int) -> str:
+    n = shingle_size
+    return (
+        "WITH " + PAGES_SQL_CTE + ",\n"
+        "shingled AS (\n"
+        "    SELECT url, list_distinct(list_transform(\n"
+        f"        range(1, len(w) - {n - 2}), i -> "
+        + " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
+        + ")) AS sh\n"
+        "    FROM (SELECT url, string_split(text, ' ') AS w FROM pages)\n"
+        "),\n"
+        "sets AS (SELECT url, len(sh) AS size, unnest(sh) AS shingle FROM shingled),\n"
+        "pairs AS (\n"
+        "    SELECT a.url AS url_a, b.url AS url_b, a.size AS size_a, b.size AS size_b,\n"
+        "           count(*) AS inter\n"
+        "    FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.url < b.url\n"
+        "    GROUP BY 1, 2, 3, 4\n"
+        ")\n"
+        "SELECT url_a, url_b,\n"
+        "       CAST(round(1e6 * inter / (size_a + size_b - inter)) AS BIGINT) AS jaccard_ppm\n"
+        "FROM pairs\n"
+        f"WHERE inter / (size_a + size_b - inter) >= {threshold}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH (scale path)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) permutation parameters (seeded, no wall-clock)."""
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _base_hash(shingle: str) -> int:
+    """Stable 8-byte content hash (process-independent, unlike hash())."""
+    return int.from_bytes(hashlib.blake2b(shingle.encode(), digest_size=8).digest(), "big")
+
+
+class MinHashSignatures:
+    """Actor-pool stage: pages batch -> (url, sig list<uint64>).
+
+    Permutation parameters are built once per actor in __init__ (stateful
+    setup), and a per-actor base-hash cache amortizes repeated shingles.
+    """
+
+    def __init__(self, num_perm: int, shingle_size: int):
+        self._a, self._b = _perm_params(num_perm)
+        self._n = shingle_size
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, shingle_lists = _shingle_batch(batch, self._n)
+        sigs = []
+        for shingles in shingle_lists:
+            if not shingles:
+                sigs.append(np.zeros(len(self._a), dtype=np.uint64))
+                continue
+            base = np.fromiter(
+                (self._cache.setdefault(s, _base_hash(s)) for s in shingles),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            # sig[i] = min over shingles of (a_i * h + b_i) mod p  (vectorized outer)
+            prod = base[:, None] * self._a[None, :] + self._b[None, :]
+            sigs.append((prod % _MERSENNE).min(axis=0))
+        return pa.table(
+            {
+                "url": batch["url"],
+                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    threshold: float | None = None,
+) -> ray.data.Dataset:
+    """MinHash-LSH near-dup candidate pairs, verified by signature agreement.
+
+    pages -> signatures (actor pool) -> per-band bucket keys -> inverted-index
+    self-join on bucket -> distinct pairs -> estimated J = matching perms /
+    num_perm >= threshold. One hash shuffle on the band bucket; the bucket key
+    is '<band_idx>:<hash of band slice>' so all bands share a single join.
+    """
+    tau = threshold if threshold is not None else cfg.jaccard_threshold
+    num_perm, bands = cfg.minhash_num_perm, cfg.minhash_bands
+    rows_per_band = num_perm // bands
+
+    sigs = read_pages(sf_dir, include_html=False).map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_size": cfg.shingle_size},
+        **actor_kwargs(batch_size=1024),
+    )
+
+    def band_keys(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        sig_np = np.asarray(batch["sig"].to_pylist(), dtype=np.uint64)
+        sig_strs = ["," .join(map(str, s)) for s in sig_np]
+        u, keys, carried = [], [], []
+        for i, url in enumerate(urls):
+            for b in range(bands):
+                chunk = sig_np[i, b * rows_per_band : (b + 1) * rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                u.append(url)
+                keys.append(f"{b}:{h}")
+                carried.append(sig_strs[i])
+        return pa.table(
+            {
+                "url": pa.array(u, type=pa.string()),
+                "bucket": pa.array(keys, type=pa.string()),
+                "sig_s": pa.array(carried, type=pa.string()),
+            }
+        )
+
+    bucketed = self_join_input(
+        sigs.map_batches(band_keys, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    joined = bucketed.join(
+        bucketed,
+        join_type="inner",
+        on=("bucket",),
+        left_suffix="_l",
+        right_suffix="_r",
+        **join_kwargs(cfg),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["url_l"], batch["url_r"])
+        b = batch.filter(keep)
+        key = pc.binary_join_element_wise(b["url_l"], b["url_r"], b["sig_s_l"], b["sig_s_r"], _SEP)
+        return pa.table({"pair": key})
+
+    pairs = joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = pairs.groupby("pair").count()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for packed in batch["pair"].to_pylist() if len(batch) else []:
+            url_a, url_b, sl, sr = packed.split(_SEP)
+            s1 = np.array(sl.split(","), dtype=np.uint64)
+            s2 = np.array(sr.split(","), dtype=np.uint64)
+            est = float((s1 == s2).mean())
+            if est >= tau:
+                out_a.append(url_a)
+                out_b.append(url_b)
+                out_j.append(int(round(est * 1e6)))
+        return pa.table(
+            {
+                "url_a": pa.array(out_a, type=pa.string()),
+                "url_b": pa.array(out_b, type=pa.string()),
+                "est_jaccard_ppm": pa.array(out_j, type=pa.int64()),
+            }
+        )
+
+    return distinct.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHashStage:
+    """Actor-pool stage: pages -> (url, simhash:uint64). 64-bit SimHash over
+    whitespace tokens, stable blake2b token hashes cached per actor."""
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+
+    def _token_hash(self, tok: str) -> int:
+        h = self._cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            self._cache[tok] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch["text"].to_pylist():
+            toks = text.split(" ")
+            if not toks:
+                out.append(0)
+                continue
+            hashes = np.fromiter(
+                (self._token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
+            )
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int32
+            )
+            votes = bits.sum(axis=0) * 2 - len(toks)
+            sim = np.uint64(0)
+            for bit_idx in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(bit_idx)
+            out.append(int(sim))
+        return pa.table(
+            {"url": batch["url"], "simhash": pa.array(out, type=pa.uint64())}
+        )
+
+
+def simhash_pairs(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, *, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split 64 bits into max_hamming+1 bands; any pair
+    within distance k agrees exactly on >= 1 band. groupby(band value) then
+    verify true Hamming distance. Same inverted-index-join shape as LSH.
+    """
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+
+    sigs = read_pages(sf_dir, include_html=False).map_batches(
+        SimHashStage, **actor_kwargs(batch_size=1024)
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        sims = batch["simhash"].to_numpy()
+        u, keys, carried = [], [], []
+        for i, url in enumerate(urls):
+            v = int(sims[i])
+            for b in range(n_bands):
+                band_val = (v >> (b * band_bits)) & ((1 << band_bits) - 1)
+                u.append(url)
+                keys.append(f"{b}:{band_val}")
+                carried.append(v)
+        return pa.table(
+            {
+                "url": pa.array(u, type=pa.string()),
+                "bucket": pa.array(keys, type=pa.string()),
+                "simhash": pa.array(carried, type=pa.uint64()),
+            }
+        )
+
+    bucketed = self_join_input(
+        sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    joined = bucketed.join(
+        bucketed,
+        join_type="inner",
+        on=("bucket",),
+        left_suffix="_l",
+        right_suffix="_r",
+        **join_kwargs(cfg),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["url_l"], batch["url_r"])
+        b = batch.filter(keep)
+        if len(b) == 0:
+            return pa.table({"pair": pa.array([], type=pa.string())})
+        xor = (
+            b["simhash_l"].to_numpy().astype(np.uint64)
+            ^ b["simhash_r"].to_numpy().astype(np.uint64)
+        )
+        # popcount via byte view (numpy<2 has no bitwise_count)
+        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        ok = pa.array(ham <= max_hamming)
+        b = b.filter(ok)
+        key = pc.binary_join_element_wise(
+            b["url_l"],
+            b["url_r"],
+            pa.array([str(h) for h in ham[np.asarray(ok)]], type=pa.string()),
+            _SEP,
+        )
+        return pa.table({"pair": key})
+
+    pairs = joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = pairs.groupby("pair").count()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "url_a": pa.array([], type=pa.string()),
+                    "url_b": pa.array([], type=pa.string()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        parts = pc.split_pattern(batch["pair"], _SEP)
+        return pa.table(
+            {
+                "url_a": pc.list_element(parts, 0),
+                "url_b": pc.list_element(parts, 1),
+                "hamming": pc.cast(pc.list_element(parts, 2), pa.int64()),
+            }
+        )
+
+    return distinct.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

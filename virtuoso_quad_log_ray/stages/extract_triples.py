@@ -140,20 +140,19 @@ class TripleExtractor:
 def extract_triples(
     pages_text: ray.data.Dataset,
     *,
-    concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 2048,
 ) -> ray.data.Dataset:
     """pages (url, text, lang) -> quads (s, p, o, g) via an actor pool.
 
     The alias dict is broadcast through the object store once (ray.put),
-    not re-shipped per batch.
+    not re-shipped per batch. Pool sizing/CPU fraction comes from
+    stages.shuffle.actor_kwargs (actors must not starve task operators).
     """
+    from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs
+
     alias_ref = ray.put(ALIAS_PAIRS)
     return pages_text.map_batches(
         TripleExtractor,
         fn_constructor_kwargs={"alias_ref": alias_ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
+        **actor_kwargs(batch_size=batch_size),
     )

@@ -1,0 +1,76 @@
+"""Shared shuffle/join sizing.
+
+Ray Data's hash join spawns one aggregator ACTOR per partition (default 1
+logical CPU each). Two failure modes if sized naively:
+
+  * partitions > free cores  -> the aggregators never all schedule and the
+    pipeline deadlocks silently (observed in this sandbox at 4-8 CPUs);
+  * partitions << cores      -> the join is under-parallelized at scale.
+
+Policy: partitions = min(configured cap, live cluster CPUs / 2), floor 2,
+and aggregators request 0.5 CPU so upstream map/read tasks can always make
+progress alongside a full aggregator fleet. On a 256-node cluster the cap
+(EngineConfig.num_shuffle_partitions) dominates; in the sandbox the CPU
+count does.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray
+
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+
+
+def cluster_cpus(default: int = 4) -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
+
+
+def join_partitions(cfg: EngineConfig = DEFAULT_CONFIG) -> int:
+    return max(2, min(cfg.num_shuffle_partitions, cluster_cpus() // 2))
+
+
+def join_kwargs(cfg: EngineConfig = DEFAULT_CONFIG) -> dict[str, Any]:
+    """kwargs for Dataset.join: partition count + fractional-CPU aggregators."""
+    return {
+        "num_partitions": join_partitions(cfg),
+        "aggregator_ray_remote_args": {"num_cpus": 0.5},
+    }
+
+
+def actor_kwargs(*, batch_size: int = 2048, max_pool: int | None = None) -> dict[str, Any]:
+    """kwargs for actor-pool ``map_batches`` stages.
+
+    Every actor requests 0.5 CPU: a pipeline stacking several actor-pool
+    stages plus join/shuffle aggregators must never reserve every core, or
+    the task-pool operators feeding the actors starve and the pipeline
+    deadlocks (observed at num_cpus=4: 4/4 CPU held by actors, read tasks
+    pending forever). Fractional actors keep >= 1 core schedulable for
+    tasks at any pool size; pool max scales with the cluster.
+    """
+    cpus = cluster_cpus()
+    return {
+        "concurrency": (1, max_pool or max(2, cpus - 1)),
+        "batch_size": batch_size,
+        "num_cpus": 0.5,
+        "batch_format": "pyarrow",
+        "zero_copy_batch": True,
+    }
+
+
+def self_join_input(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Materialize a dataset that feeds BOTH sides of a self-join.
+
+    Ray Data has no common-subexpression reuse: ``ds.join(ds, ...)`` executes
+    the upstream twice (two read+compute chains, two actor pools). For the
+    compact signature/bucket tables feeding our self-joins this is pure
+    waste, so pin the blocks once in the object store. At 100 TB the analog
+    is checkpointing the signature table to Parquet and reading it twice —
+    either way the exploded/raw input is never materialized, only the
+    key table.
+    """
+    return ds.materialize()

@@ -1,0 +1,239 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline (numpy matmul per batch
+against a broadcast query matrix — the "broadcast small side, stream big
+side" pattern), and an LSH-bucketed near-duplicate pair miner as the scale
+path. Partial top-k is computed inside each batch so only k rows per
+(query, block) reach the final merge — the full similarity matrix never
+materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs, join_kwargs, self_join_input
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the first n_queries vec_ids."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n_queries)).sort_by("vec_id")
+    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return t["vec_id"].to_numpy().astype(np.int64), q
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per batch, cosine of every vector against the
+    broadcast query matrix; emits only the batch-local top-k per query."""
+
+    def __init__(self, queries_ref, k: int):
+        self._qids, q = ray.get(queries_ref)
+        self._q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self._k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = self._q @ m_norm.T  # (n_queries, batch)
+        k = min(self._k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # top-k by (-sim, vec_id): lexsort secondary key keeps determinism
+            idx = np.lexsort((vec_ids, -row))[:k]
+            out_q.extend([int(self._qids[qi])] * len(idx))
+            out_n.extend(vec_ids[idx].tolist())
+            out_s.extend(row[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def ann_topk(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+) -> ray.data.Dataset:
+    """Exact cosine top-k neighbors (excluding self) for the first n_queries
+    vectors. Output: (query_id, rank, neighbor_id) — ids only, so the
+    value-hash is float-free; ties broken by neighbor_id.
+
+    Scale shape: queries broadcast once (ray.put); batch-local top-k inside
+    map_batches; final merge is a tiny groupby over n_queries * n_blocks * k
+    rows.
+    """
+    queries_ref = ray.put(_load_queries(sf_dir, n_queries))
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partial = vecs.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k + 1},
+        **actor_kwargs(batch_size=4096),
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        sims = group["sim"].to_numpy()
+        nids = group["neighbor_id"].to_numpy().astype(np.int64)
+        mask = nids != qid  # exclude self-match
+        sims, nids = sims[mask], nids[mask]
+        idx = np.lexsort((nids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(idx), type=pa.int64()),
+                "rank": pa.array(np.arange(1, len(idx) + 1, dtype=np.int64)),
+                "neighbor_id": pa.array(nids[idx]),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def ann_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {n_queries}
+),
+sims AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qv, e.embedding) AS sim
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM sims
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed near-duplicate pairs (scale path)
+# ---------------------------------------------------------------------------
+
+class RandomProjectionSign:
+    """Actor-pool stage: embedding -> b-bit random-hyperplane signature
+    (seeded, deterministic), emitted per band for bucket blocking."""
+
+    def __init__(self, dim: int, n_bits: int, n_bands: int):
+        rng = np.random.RandomState(7)
+        self._planes = rng.standard_normal((dim, n_bits))
+        self._n_bands = n_bands
+        self._bits_per_band = n_bits // n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        signs = (m @ self._planes) > 0  # (n, n_bits)
+        weights = 1 << np.arange(self._bits_per_band, dtype=np.int64)
+        ids, buckets = [], []
+        for band in range(self._n_bands):
+            sl = signs[:, band * self._bits_per_band : (band + 1) * self._bits_per_band]
+            vals = sl.astype(np.int64) @ weights
+            ids.append(vec_ids)
+            buckets.append(np.char.add(f"{band}:", vals.astype(str)))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(ids)),
+                "bucket": pa.array(np.concatenate(buckets).tolist(), type=pa.string()),
+            }
+        )
+
+
+def embedding_neardup_pairs(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    cos_threshold: float = 0.45,
+    n_bits: int = 16,
+    n_bands: int = 8,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH blocking,
+    verified exactly (cosine recomputed on the candidate pair).
+
+    The verify stage looks candidate vectors up from a broadcast id->vector
+    map; at sandbox scale the whole table broadcasts, at 100 TB this becomes
+    a join against the embeddings table on vec_id (documented partitioning
+    assumption).
+    """
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(emb["embedding"][0])
+    vec_map_ref = ray.put(
+        dict(
+            zip(
+                emb["vec_id"].to_numpy().astype(np.int64).tolist(),
+                np.asarray(emb["embedding"].to_pylist(), dtype=np.float64),
+            )
+        )
+    )
+
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    bucketed = vecs.map_batches(
+        RandomProjectionSign,
+        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "n_bands": n_bands},
+        **actor_kwargs(batch_size=4096),
+    )
+
+    bucketed = self_join_input(bucketed)
+    joined = bucketed.join(
+        bucketed,
+        join_type="inner",
+        on=("bucket",),
+        **join_kwargs(cfg),
+        left_suffix="_l",
+        right_suffix="_r",
+    )
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["vec_id_l"], batch["vec_id_r"])
+        b = batch.filter(keep)
+        key = pc.binary_join_element_wise(
+            pc.cast(b["vec_id_l"], pa.string()), pc.cast(b["vec_id_r"], pa.string()), "\x1f"
+        )
+        return pa.table({"pair": key})
+
+    distinct = joined.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "pair"
+    ).count()
+
+    class VerifyCosine:
+        def __init__(self):
+            self._vecs = ray.get(vec_map_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_ppm = [], [], []
+            for packed in batch["pair"].to_pylist() if len(batch) else []:
+                a_id, b_id = (int(x) for x in packed.split("\x1f"))
+                va, vb = self._vecs[a_id], self._vecs[b_id]
+                cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                if cos >= cos_threshold:
+                    out_a.append(a_id)
+                    out_b.append(b_id)
+                    out_ppm.append(int(round(cos * 1e6)))
+            return pa.table(
+                {
+                    "vec_a": pa.array(out_a, type=pa.int64()),
+                    "vec_b": pa.array(out_b, type=pa.int64()),
+                    "cos_ppm": pa.array(out_ppm, type=pa.int64()),
+                }
+            )
+
+    return distinct.map_batches(VerifyCosine, **actor_kwargs(max_pool=4))

@@ -1,0 +1,191 @@
+"""Text analysis stages over the pages/documents corpus.
+
+Training-data-pipeline operators (brief: language-ID, quality scoring, token
+counting, document fingerprinting), each a stateless or actor-pool
+``map_batches`` over Arrow batches. Ratio metrics are reported as integer
+ppm (round(x*1e6)) so value-hash comparison is float-format-proof.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE, read_pages
+from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs
+
+STOPWORDS = ("the", "a")
+
+
+def text_quality(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Per-page quality stats: token count, char count, mean token length,
+    stopword ratio, distinct-token ratio (all vectorized Arrow kernels +
+    one Arrow hash group_by per batch for the distinct count)."""
+    pages = read_pages(sf_dir, include_html=False)
+    stop_arr = pa.array(list(STOPWORDS), type=pa.string())
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tokens = pc.split_pattern(text, " ")
+        n_tokens = pc.list_value_length(tokens).to_numpy().astype(np.int64)
+        n_chars = pc.utf8_length(text).to_numpy().astype(np.int64)
+
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens).to_numpy()
+        n = len(batch)
+        # per-row stopword count: bincount over parent indices of hits
+        stop_hits = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        stop_count = np.bincount(parents[stop_hits], minlength=n).astype(np.int64)
+        # per-row distinct tokens: Arrow hash group_by on (row, token), then bincount
+        distinct_rows = (
+            pa.table({"i": pa.array(parents), "tok": flat}).group_by(["i", "tok"]).aggregate([])
+        )
+        distinct_count = np.bincount(
+            distinct_rows["i"].to_numpy().astype(np.int64), minlength=n
+        ).astype(np.int64)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_tok_len = np.where(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens, 0.0)
+            stop_ratio = np.where(n_tokens > 0, stop_count / n_tokens, 0.0)
+            distinct_ratio = np.where(n_tokens > 0, distinct_count / n_tokens, 0.0)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "n_tokens": pa.array(n_tokens),
+                "n_chars": pa.array(n_chars),
+                "mean_token_len_ppm": pa.array(np.round(mean_tok_len * 1e6).astype(np.int64)),
+                "stopword_ratio_ppm": pa.array(np.round(stop_ratio * 1e6).astype(np.int64)),
+                "distinct_ratio_ppm": pa.array(np.round(distinct_ratio * 1e6).astype(np.int64)),
+            }
+        )
+
+    return pages.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TEXT_QUALITY_SQL = (
+    "WITH " + PAGES_SQL_CTE + ",\n"
+    "base AS (SELECT url, text, string_split(text, ' ') AS w FROM pages)\n"
+    "SELECT url,\n"
+    "       len(w)::BIGINT AS n_tokens,\n"
+    "       length(text)::BIGINT AS n_chars,\n"
+    "       CAST(round(1e6 * (length(text) - (len(w) - 1)) / len(w)) AS BIGINT) AS mean_token_len_ppm,\n"
+    "       CAST(round(1e6 * len(list_filter(w, t -> t IN ('the', 'a'))) / len(w)) AS BIGINT) AS stopword_ratio_ppm,\n"
+    "       CAST(round(1e6 * len(list_distinct(w)) / len(w)) AS BIGINT) AS distinct_ratio_ppm\n"
+    "FROM base"
+)
+
+
+def fingerprints(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Content fingerprint per page (md5 here; MinHash/SimHash sketches live
+    in stages/dedup.py). Keyed digest matches DuckDB's md5() for the oracle."""
+    pages = read_pages(sf_dir, include_html=False)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"url": batch["url"], "fingerprint": pa.array(digests, type=pa.string())})
+
+    return pages.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FINGERPRINTS_SQL = "WITH " + PAGES_SQL_CTE + "\nSELECT url, md5(text) AS fingerprint FROM pages"
+
+
+# ---------------------------------------------------------------------------
+# language ID: corpus-trained char-trigram profiles, broadcast + score
+# ---------------------------------------------------------------------------
+
+def _trigram_counts(texts: list[str]) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for t in texts:
+        for i in range(len(t) - 2):
+            tri = t[i : i + 3]
+            counts[tri] = counts.get(tri, 0) + 1
+    return counts
+
+
+class LangScorer:
+    """Actor-pool stage scoring pages against broadcast per-language trigram
+    profiles (model broadcast once via ray.put, loaded per actor)."""
+
+    def __init__(self, profiles_ref):
+        profiles: dict[str, dict[str, int]] = ray.get(profiles_ref)
+        self._langs = sorted(profiles)
+        # log-probability tables with add-one smoothing
+        self._tables = []
+        for lang in self._langs:
+            c = profiles[lang]
+            total = sum(c.values())
+            self._tables.append({k: np.log((v + 1) / (total + 1)) for k, v in c.items()})
+        self._floor = [np.log(1 / (sum(profiles[l].values()) + 1)) for l in self._langs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for text in batch["text"].to_pylist():
+            tris = [text[i : i + 3] for i in range(0, min(len(text), 300) - 2)]
+            best_lang, best = None, -np.inf
+            for li, lang in enumerate(self._langs):
+                tab, floor = self._tables[li], self._floor[li]
+                score = sum(tab.get(t, floor) for t in tris)
+                if score > best:
+                    best, best_lang = score, lang
+            preds.append(best_lang or "und")
+        return pa.table({"url": batch["url"], "lang_pred": pa.array(preds, type=pa.string())})
+
+
+def lang_id(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Two-phase language ID: (1) train per-lang trigram profiles with a
+    small groupby-aggregate over the labeled corpus, (2) broadcast the model
+    and score every page in an actor pool. Deterministic; no oracle SQL (the
+    heuristic is not SQL-expressible) — driver records rows-only."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        out_lang, out_tri, out_n = [], [], []
+        langs = batch["lang"].to_pylist()
+        texts = batch["text"].to_pylist()
+        by_lang: dict[str, list[str]] = {}
+        for lang, t in zip(langs, texts):
+            by_lang.setdefault(lang, []).append(t)
+        for lang, ts in by_lang.items():
+            for tri, n in _trigram_counts(ts).items():
+                out_lang.append(lang)
+                out_tri.append(tri)
+                out_n.append(n)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, type=pa.string()),
+                "tri": pa.array(out_tri, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    # partial counts per block -> one small groupby (model fits the driver)
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "tri"])
+        .aggregate(Sum("n"))
+        .take_all()
+    )
+    profiles: dict[str, dict[str, int]] = {}
+    for row in counts:
+        profiles.setdefault(row["lang"], {})[row["tri"]] = int(row["sum(n)"])
+    profiles_ref = ray.put(profiles)
+
+    pages = read_pages(sf_dir, include_html=False)
+    return pages.map_batches(
+        LangScorer,
+        fn_constructor_kwargs={"profiles_ref": profiles_ref},
+        **actor_kwargs(batch_size=1024),
+    )
