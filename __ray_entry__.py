@@ -25,7 +25,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from virtuoso_quad_log_ray.pipelines import changelog as cl
     from virtuoso_quad_log_ray.pipelines import kg
     from virtuoso_quad_log_ray.pipelines import relational as rel
+    from virtuoso_quad_log_ray.stages import canonicalize as cz
     from virtuoso_quad_log_ray.stages import dedup as dd
+    from virtuoso_quad_log_ray.stages import multimodal as mm
     from virtuoso_quad_log_ray.stages import similarity as sim
     from virtuoso_quad_log_ray.stages import textstats as tx
 
@@ -44,10 +46,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": lambda sf: dd.ngram_jaccard_pairs(sf),
         "dedup_minhash_lsh": lambda sf: dd.minhash_lsh_pairs(sf),
         "dedup_simhash": lambda sf: dd.simhash_pairs(sf),
+        "dedup_clusters": lambda sf: cz.canonicalize_pages(sf),
         # --- text analysis ---
         "text_quality": lambda sf: tx.text_quality(sf),
         "text_fingerprints": lambda sf: tx.fingerprints(sf),
         "text_lang_id": lambda sf: tx.lang_id(sf),
+        "text_token_counts": lambda sf: tx.token_counts(sf),
+        # --- multimodal binary-column stages (decode stubbed, plumbing real) ---
+        "mm_media_metadata": lambda sf: mm.media_metadata(sf),
+        "mm_byte_histogram": lambda sf: mm.byte_histogram(sf),
+        "mm_frame_sample": lambda sf: mm.frame_sample(sf),
         # --- similarity search over embeddings ---
         "ann_topk": lambda sf: sim.ann_topk(sf),
         "emb_neardup_lsh": lambda sf: sim.embedding_neardup_pairs(sf),
@@ -66,7 +74,9 @@ def oracle_sql() -> dict[str, str]:
     from virtuoso_quad_log_ray.pipelines import changelog as cl
     from virtuoso_quad_log_ray.pipelines import kg
     from virtuoso_quad_log_ray.pipelines import relational as rel
+    from virtuoso_quad_log_ray.stages import canonicalize as cz
     from virtuoso_quad_log_ray.stages import dedup as dd
+    from virtuoso_quad_log_ray.stages import multimodal as mm
     from virtuoso_quad_log_ray.stages import similarity as sim
     from virtuoso_quad_log_ray.stages import textstats as tx
 
@@ -83,10 +93,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dd.ngram_jaccard_sql(
             cfg.jaccard_threshold, cfg.shingle_size
         ),
-        # dedup_minhash_lsh / dedup_simhash / text_lang_id / emb_neardup_lsh:
-        # probabilistic or non-SQL-expressible -> rows-only check
+        # dedup_minhash_lsh / dedup_simhash / text_lang_id / emb_neardup_lsh /
+        # mm_byte_histogram / mm_frame_sample: probabilistic, binary-payload,
+        # or non-SQL-expressible -> rows-only check
+        "dedup_clusters": cz.canonicalize_sql(cfg.jaccard_threshold, cfg.shingle_size),
         "text_quality": tx.TEXT_QUALITY_SQL,
         "text_fingerprints": tx.FINGERPRINTS_SQL,
+        "text_token_counts": tx.TOKEN_COUNTS_SQL,
+        "mm_media_metadata": mm.MEDIA_METADATA_SQL,
         "ann_topk": sim.ann_topk_sql(),
         "rel_pricing_summary": rel.PRICING_SUMMARY_SQL,
         "rel_revenue_by_nation": rel.REVENUE_BY_NATION_SQL,

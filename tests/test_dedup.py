@@ -40,6 +40,14 @@ class TestDedup:
         missed = exact_pairs - mh_pairs
         assert len(missed) <= max(1, len(exact_pairs) // 20), f"LSH missed {len(missed)}"
 
+    def test_hot_shingle_cap_keeps_true_dups(self):
+        """With a generous doc-frequency cap, boilerplate shingles drop but
+        exact mirror pairs (J=1 on surviving shingles) are still found."""
+        capped = to_arrow(dd.ngram_jaccard_pairs(SF_SMALL, max_shingle_freq=50))
+        pairs = set(zip(capped["url_a"].to_pylist(), capped["url_b"].to_pylist()))
+        mirrors = {p for p in pairs if p[1].endswith("?mirror=1")}
+        assert len(mirrors) >= 18  # 20 mirror clones at sf0.001
+
     def test_simhash_clones_have_zero_distance(self):
         t = to_arrow(dd.simhash_pairs(SF_SMALL))
         pairs = {

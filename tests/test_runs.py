@@ -1,0 +1,68 @@
+"""Dump + incremental sync orchestration (pipelines/runs.py): cursor gating,
+idempotence, manifest counters, and end-to-end patch-file correctness."""
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from virtuoso_quad_log_ray.config import EngineConfig
+from virtuoso_quad_log_ray.pipelines import runs
+from virtuoso_quad_log_ray.pipelines.publish import Bundler
+from virtuoso_quad_log_ray.rdfpatch import TS14_ZERO, parse_patch_text
+from virtuoso_quad_log_ray.state import checkpoint as ckpt
+from virtuoso_quad_log_ray.state.manifest import load_manifest
+
+CFG = EngineConfig(max_quads_per_file=5000)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRuns:
+    def test_dump_then_sync_lifecycle(self, tmp_path):
+        root = str(tmp_path / "sink")
+
+        # --- dump run ---
+        m0 = runs.run_dump(SF_SMALL, root, epoch="E1", cfg=CFG)
+        assert m0.kind == "dump"
+        assert m0.checkpoint == TS14_ZERO
+        assert m0.quad_count > 0
+        assert ckpt.read_cursor(root) == TS14_ZERO
+        assert ckpt.read_epoch(root) == "E1"
+
+        # dump is idempotent (vql_rdfdump_info marker analog)
+        m0b = runs.run_dump(SF_SMALL, root, epoch="E2", cfg=CFG)
+        assert m0b.quad_count == m0.quad_count
+        assert ckpt.read_epoch(root) == "E1"  # untouched
+
+        # sync before/at cursor is rejected
+        with pytest.raises(RuntimeError):
+            runs.run_sync(SF_SMALL, root, checkpoint=TS14_ZERO, cfg=CFG)
+
+        # --- sync run ---
+        m1 = runs.run_sync(SF_SMALL, root, checkpoint="20240101010101", cfg=CFG)
+        assert m1.kind == "sync"
+        assert m1.run_index == 1
+        assert ckpt.read_cursor(root) == "20240101010101"
+        # totals accumulate across runs (A3 counters)
+        assert m1.total_quads == m0.quad_count + m1.quad_count
+        assert m1.total_files == m0.file_count + m1.file_count
+        # changelog contains both ops
+        sync_files = [f for f in m1.files if f.name not in {x.name for x in m0.files}]
+        ops = set()
+        for fe in sync_files[:20]:
+            with open(os.path.join(root, fe.name)) as fh:
+                quads, meta = parse_patch_text(fh.read())
+            assert meta["at checkpoint"] == "20240101010101"
+            ops.update(q["op"] for q in quads)
+        assert ops <= {"+", "-"} and ops
+
+        # --- publish over the committed manifest ---
+        pub = str(tmp_path / "pub")
+        st = Bundler(root, pub, max_files=50).publish()
+        assert st.def_count + st.end_count >= 1
+        man = load_manifest(root)
+        assert man.run_index == 1
+
+    def test_sync_requires_dump(self, tmp_path):
+        with pytest.raises(RuntimeError):
+            runs.run_sync(SF_SMALL, str(tmp_path / "x"), checkpoint="20240101010101", cfg=CFG)

@@ -24,10 +24,13 @@ class EngineConfig:
     # the default suits the 32-CPU sandbox.
     num_shuffle_partitions: int = 64
 
-    # Target rows per Arrow batch in map_batches stages. Pages carry a wide
-    # binary `html` column, so batches stay modest until html is projected away.
-    pages_batch_size: int = 1024
-    quads_batch_size: int = 8192
+    # Rows per Arrow batch in map_batches stages. None = whole blocks: a
+    # batch_size smaller than the upstream block makes Ray bundle blocks
+    # into one task and lose block-level parallelism; block size is already
+    # bounded at the read (override_num_blocks / file splits), and pages
+    # project the wide binary `html` away at the first stage.
+    pages_batch_size: int | None = None
+    quads_batch_size: int | None = None
 
     # Max patch files per published bundle.
     # Reference: MAX_FILES_COMPRESSED <= 50000 (synchronizer.py:61-64).

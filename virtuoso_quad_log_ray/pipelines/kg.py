@@ -53,16 +53,16 @@ mentions AS (
     SELECT DISTINCT t.url, a.canon FROM toks t JOIN aliases a ON a.surface = t.tok
 ),
 quads AS (
-    SELECT '<' || url || '>' AS s, '{VOCAB}lang' AS p,
+    SELECT '<' || url || '>' AS s, '<{VOCAB}lang>' AS p,
            '"' || lang || '"' AS o, url AS g FROM pages
     UNION ALL
-    SELECT '<' || url || '>', '{VOCAB}source',
+    SELECT '<' || url || '>', '<{VOCAB}source>',
            '"' || regexp_extract(url, 'https://example\\.org/([^/]+)/', 1) || '"', url FROM pages
     UNION ALL
-    SELECT '<' || url || '>', '{VOCAB}tokenCount',
+    SELECT '<' || url || '>', '<{VOCAB}tokenCount>',
            '"' || len(string_split(text, ' ')) || '"^^<{XSD_INTEGER}>', url FROM pages
     UNION ALL
-    SELECT '<' || url || '>', '{VOCAB}mentions',
+    SELECT '<' || url || '>', '<{VOCAB}mentions>',
            '<{ENTITY_NS}' || canon || '>', url FROM mentions
 )
 """.strip()

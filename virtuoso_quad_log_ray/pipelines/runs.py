@@ -1,0 +1,116 @@
+"""Run orchestration: dump + incremental sync micro-batch runs (T1/T2/T7/T8).
+
+The reference's operational loop (quad-logger/entrypoint.sh:14-17 →
+generate-rdfpatch.sh:407-427) alternates between one initial full dump and
+repeated incremental syncs gated by a checkpoint cursor. This module is that
+loop's body for the new engine — each call is one bounded Dataset execution
+(the ``ray job submit`` unit):
+
+  run_dump   no dump-info yet (C4/C5 analog: committed manifest absent) ->
+             full quad build, all '+' ops, checkpoint ts 00000000000000
+             (generate-rdfpatch.sh:210-217), epoch signed (T2), cursor
+             written AFTER the manifest commits (T1).
+  run_sync   cursor present -> changelog = anti-join(prev snapshot quads,
+             current snapshot quads) (J1), written as a sync run with the
+             new checkpoint; cursor advances only after commit — a crashed
+             run replays idempotently from the old cursor (T5 semantics).
+
+State layout under ``out_root`` (all via state/manifest + state/checkpoint):
+  MANIFEST + manifest-*.json   committed files + counters (A1/A3)
+  cursor.ts14                  last fully-processed input watermark
+  epoch.ts14                   run-lineage handshake token
+  <b64(graph)>/rdf_out_*       the published patch files
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.pipelines.changelog import diff_quads, quads_version
+from virtuoso_quad_log_ray.pipelines.publish import write_rdfpatch
+from virtuoso_quad_log_ray.rdfpatch import TS14_ZERO
+from virtuoso_quad_log_ray.state import checkpoint as ckpt
+from virtuoso_quad_log_ray.state.manifest import RunManifest, load_manifest
+
+
+def _with_op(quads: ray.data.Dataset, op: str) -> ray.data.Dataset:
+    def add(b: pa.Table) -> pa.Table:
+        return b.append_column("op", pa.array([op] * len(b), type=pa.string()))
+
+    return quads.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run_dump(
+    sf_dir: str,
+    out_root: str,
+    *,
+    epoch: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    version: int = 1,
+) -> RunManifest:
+    """Initial full dump: all quads as '+' records at checkpoint 0.
+
+    Idempotent: if a committed dump manifest exists (the vql_rdfdump_info
+    marker analog, generate-rdfpatch.sh:277-297), returns it unchanged.
+    """
+    existing = load_manifest(out_root)
+    if existing is not None and existing.kind == "dump":
+        return existing
+    quads = _with_op(quads_version(sf_dir, version, cfg), "+")
+    manifest = write_rdfpatch(
+        quads,
+        out_root,
+        epoch=epoch,
+        checkpoint=TS14_ZERO,
+        kind="dump",
+        cfg=cfg,
+        run_index=0,
+        last_source=f"{sf_dir}#v{version}",
+    )
+    ckpt.write_epoch(out_root, epoch)
+    # cursor written AFTER the manifest commit: crash before this line means
+    # the next run redoes the dump against the committed (empty) state.
+    ckpt.write_cursor(out_root, TS14_ZERO)
+    return manifest
+
+
+def run_sync(
+    sf_dir: str,
+    out_root: str,
+    *,
+    checkpoint: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    prev_version: int = 1,
+    new_version: int = 2,
+) -> RunManifest:
+    """One incremental sync: +/- changelog between the prev and current
+    snapshots, appended to the sink under the new checkpoint ts.
+
+    Requires a committed dump (cursor present — parse_trx_logs cursor gate,
+    generate-rdfpatch.sh:348-351).
+    """
+    cursor = ckpt.read_cursor(out_root)
+    if cursor is None:
+        raise RuntimeError("no dump committed yet: run_dump first")
+    if checkpoint <= cursor:
+        raise RuntimeError(f"checkpoint {checkpoint} not after cursor {cursor}")
+    prev_manifest = load_manifest(out_root)
+    log = diff_quads(
+        quads_version(sf_dir, prev_version, cfg),
+        quads_version(sf_dir, new_version, cfg),
+        cfg,
+    )
+    manifest = write_rdfpatch(
+        log,
+        out_root,
+        epoch=ckpt.read_epoch(out_root) or "",
+        checkpoint=checkpoint,
+        kind="sync",
+        cfg=cfg,
+        run_index=(prev_manifest.run_index + 1) if prev_manifest else 1,
+        last_source=f"{sf_dir}#v{new_version}",
+    )
+    ckpt.write_cursor(out_root, checkpoint)
+    return manifest

@@ -121,28 +121,67 @@ def read_pages(
     all, for pipelines that start from pre-extracted text (SURVEY.md §7.4:
     "keep html out of post-extraction datasets").
     """
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
-    )
+    from virtuoso_quad_log_ray.stages.shuffle import cluster_cpus
+
     if replicate > 1:
-        # Benchmark-scale corpus inflation (deterministic): R distinct crawls
-        # of every document under distinct urls. Queries/oracles never use
-        # this; bench.py does, so throughput is measured past fixed overheads.
-        r = replicate
+        # Benchmark-scale corpus inflation (deterministic): R distinct
+        # crawls of every document under distinct urls. Queries/oracles
+        # never use this; bench.py does. Layout: the DATASET is a table of
+        # (replica, row-range) shard descriptors and the 3 MB base table is
+        # broadcast ONCE via ray.put (fetched zero-copy per worker) — no
+        # serial read task, evenly-sized tasks, replica-sized working set
+        # per batch (a concat-all inflate measured 5x slower per core from
+        # allocator thrash; a single read task serialized the whole chain).
+        import pyarrow.parquet as pq
 
-        def inflate(batch: pa.Table) -> pa.Table:
-            parts = []
-            for k in range(r):
-                t = batch.set_column(
-                    batch.schema.get_field_index("source"),
+        base = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+        ).combine_chunks()
+        base_ref = ray.put(base)
+        rows_per_shard = 1024
+        descs = [
+            {"k": k, "start": s, "n": min(rows_per_shard, len(base) - s)}
+            for k in range(replicate)
+            for s in range(0, len(base), rows_per_shard)
+        ]
+        ds = ray.data.from_items(
+            descs, override_num_blocks=max(16, cluster_cpus() * 4)
+        )
+
+        def expand(batch: pa.Table):
+            t = ray.get(base_ref)
+            src_idx = t.schema.get_field_index("source")
+            for k, s, n in zip(
+                batch["k"].to_pylist(), batch["start"].to_pylist(), batch["n"].to_pylist()
+            ):
+                shard = t.slice(s, n)
+                yield shard.set_column(
+                    src_idx,
                     "source",
-                    pc.binary_join_element_wise(batch["source"], f"-r{k}", ""),
+                    pc.binary_join_element_wise(shard["source"], f"-r{k}", ""),
                 )
-                parts.append(t)
-            return pa.concat_tables(parts)
 
-        ds = ds.map_batches(inflate, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(_synth_batch, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(
+            expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    else:
+        # The sandbox sf dirs hold ONE parquet file per table; a single
+        # input file means a single read block, which would serialize every
+        # fused map stage downstream. Force enough blocks that the heavy
+        # extraction chain parallelizes across the cluster (at 100 TB the
+        # input is thousands of files/row-groups and this is a no-op).
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+            override_num_blocks=max(16, cluster_cpus() * 2),
+        )
+    # batch_size=None: process whole blocks. The default (1024) makes Ray
+    # BUNDLE blocks smaller than the batch into one task, collapsing
+    # parallelism (measured: 16 read blocks -> 4 fused tasks -> 4-way
+    # pipeline no matter how many CPUs).
+    ds = ds.map_batches(
+        _synth_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
     if not include_html:
         ds = ds.drop_columns(["html"])
     return ds

@@ -1,0 +1,207 @@
+"""Near-dup canonicalization: connected components over dup pairs (D2).
+
+The north_star requires "MinHash-LSH + union-find canonicalization executed
+as groupby-aggregate shuffles". Union-find is inherently sequential, so the
+distributed form is the standard iterative **min-label propagation**
+fixpoint: every node starts labeled with itself; each round every node takes
+the min label among itself and its neighbors; at fixpoint each connected
+component carries its lexicographically-smallest url as the canonical id.
+Convergence is bounded by the component diameter (near-dup clusters are
+shallow — usually 1-2 rounds).
+
+Dataflow per round (all shuffles, no driver-side graph):
+
+    messages = edges ⋈ labels (on src)        -> (node=dst, candidate label)
+    labels'  = (messages ∪ labels) groupby(node) min(label)
+    changed  = labels' ⋈ labels, count(label' != label)   [fixpoint test]
+
+``labels`` is materialized each round — an iterative algorithm must pin its
+frontier or every round re-executes the whole lineage. The edge list is the
+near-dup pair set (tiny relative to the corpus: only pages with a duplicate
+appear), so the loop shuffles only the duplicate subgraph; the full corpus
+is touched exactly once at the end by a left join attaching canon=self to
+singleton pages.
+
+Skew note (north_rule hazard): a viral page duplicated across millions of
+urls makes one giant component whose min-label groupby key is hot. The
+groupby pre-aggregates min per block before the shuffle (Ray's Min
+aggregate), which is exactly the salting-free mitigation for associative
+aggregates: each upstream block contributes one row per key.
+
+Reference analog: none — the reference's only dedup is the trx-echo filter
+(quad-logger/sql-proc/parse_trx_logs.sql:102-109); this is the new-engine
+capability the north_star adds on top.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Min
+
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.sources.pages import read_pages
+from virtuoso_quad_log_ray.stages.dedup import ngram_jaccard_pairs, ngram_jaccard_sql
+from virtuoso_quad_log_ray.stages.shuffle import join_kwargs
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    max_rounds: int = 25,
+) -> ray.data.Dataset:
+    """(url_a, url_b) pair Dataset -> (url, canon) for every url in a pair.
+
+    canon = min url of the connected component (deterministic).
+    """
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [b["url_a"].combine_chunks().cast(pa.string()),
+                     b["url_b"].combine_chunks().cast(pa.string())]
+                ),
+                "dst": pa.concat_arrays(
+                    [b["url_b"].combine_chunks().cast(pa.string()),
+                     b["url_a"].combine_chunks().cast(pa.string())]
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True)
+    edges = edges.materialize()  # reused every round; pin once
+
+    # labels0: every endpoint labeled with itself (distinct via groupby)
+    labels = (
+        edges.map_batches(
+            lambda b: pa.table({"node": b["src"], "label": b["src"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("node")
+        .aggregate(Min("label"))
+        .map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["min(label)"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # propagate: neighbor labels flow along edges (src's label -> dst)
+        messages = edges.join(
+            labels.map_batches(
+                lambda b: pa.table({"src": b["node"], "label": b["label"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            join_type="inner",
+            on=("src",),
+            **join_kwargs(cfg),
+        ).map_batches(
+            lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        new_labels = (
+            messages.union(labels)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(
+                lambda b: pa.table({"node": b["node"], "label": b["min(label)"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        # fixpoint test: any label decreased this round?
+        changed = (
+            new_labels.join(
+                labels.map_batches(
+                    lambda b: pa.table({"node": b["node"], "old": b["label"]}),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ),
+                join_type="inner",
+                on=("node",),
+                **join_kwargs(cfg),
+            )
+            .map_batches(
+                lambda b: b.filter(pc.not_equal(b["label"], b["old"])),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({"url": b["node"], "canon": b["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def canonicalize_pages(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """(url, canon_url) for EVERY page: component-min url for pages in a
+    near-dup cluster (n-gram Jaccard >= threshold; identical texts have J=1
+    so exact mirrors cluster too), canon=self for singletons.
+
+    The full corpus is touched once, by the final left join; only the dup
+    subgraph iterates.
+    """
+    pairs = ngram_jaccard_pairs(sf_dir, cfg)
+    comp = connected_components(pairs, cfg)
+
+    pages = read_pages(sf_dir, include_html=False).map_batches(
+        lambda b: b.select(["url"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = pages.join(
+        comp,
+        join_type="left_outer",
+        on=("url",),
+        **join_kwargs(cfg),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        canon = pc.coalesce(b["canon"], b["url"])
+        return pa.table({"url": b["url"], "canon_url": canon})
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def canonicalize_sql(threshold: float, shingle_size: int) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE, canon = min
+    reachable url (UNION-dedup recursion terminates on the closure)."""
+    jp = ngram_jaccard_sql(threshold, shingle_size)
+    return (
+        "WITH RECURSIVE jp AS (\n" + jp + "\n),\n"
+        "edges AS (SELECT url_a AS a, url_b AS b FROM jp\n"
+        "          UNION ALL SELECT url_b, url_a FROM jp),\n"
+        "allpages AS (" + _PAGES_URLS_SQL + "),\n"
+        "reach(u, r) AS (\n"
+        "    SELECT url, url FROM allpages\n"
+        "    UNION\n"
+        "    SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.u\n"
+        ")\n"
+        "SELECT u AS url, min(r) AS canon_url FROM reach GROUP BY u"
+    )
+
+
+# all page urls (the pages CTE is embedded inside the jp subquery, so restate
+# the url synthesis here; keep lockstep with sources/pages.py)
+_PAGES_URLS_SQL = (
+    "SELECT 'https://example.org/' || source || '/' || doc_id AS url FROM documents\n"
+    "    UNION ALL\n"
+    "    SELECT 'https://example.org/' || source || '/' || doc_id || '?mirror=1' FROM documents WHERE doc_id % 25 = 0\n"
+    "    UNION ALL\n"
+    "    SELECT 'https://example.org/' || source || '/' || doc_id || '?v=2' FROM documents WHERE doc_id % 31 = 1"
+)

@@ -125,6 +125,7 @@ def ngram_jaccard_pairs(
     *,
     threshold: float | None = None,
     shingle_size: int | None = None,
+    max_shingle_freq: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT n-gram Jaccard near-dup pairs (url_a < url_b, J >= threshold).
 
@@ -138,6 +139,30 @@ def ngram_jaccard_pairs(
     tau = threshold if threshold is not None else cfg.jaccard_threshold
     n = shingle_size if shingle_size is not None else cfg.shingle_size
     rows = self_join_input(_shingle_rows(sf_dir, n))
+    if max_shingle_freq is not None:
+        # Hot-key cap (north_rule skew hazard): a boilerplate shingle shared
+        # by F documents contributes F^2 join rows. Document frequencies come
+        # from a pre-aggregated groupby; the HOT set (freq > cap) is tiny, so
+        # it broadcasts into a vectorized is_in filter — no second shuffle.
+        # Documented approximation: J is then computed over non-hot shingles
+        # only (boilerplate carries no dedup signal); the oracle-checked
+        # default keeps the cap disabled so results stay exact.
+        freq = rows.groupby("shingle").count()
+        hot = freq.map_batches(
+            lambda b: b.filter(pc.greater(b["count()"], max_shingle_freq)).select(["shingle"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        hot_set = pa.concat_tables(
+            [t for t in (ray.get(r) for r in hot.to_arrow_refs()) if t.num_columns]
+        ).combine_chunks()
+        hot_ref = ray.put(hot_set["shingle"].combine_chunks())
+
+        def drop_hot(b: pa.Table) -> pa.Table:
+            hs = ray.get(hot_ref)
+            return b.filter(pc.invert(pc.is_in(b["shingle"], value_set=hs)))
+
+        rows = rows.map_batches(drop_hot, batch_format="pyarrow", zero_copy_batch=True)
     joined = rows.join(
         rows,
         join_type="inner",

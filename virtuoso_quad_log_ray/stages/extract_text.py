@@ -39,8 +39,10 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def extract_text(pages: ray.data.Dataset, *, batch_size: int = 1024) -> ray.data.Dataset:
-    """Stateless map_batches; small batch_size because html rows are wide."""
+def extract_text(pages: ray.data.Dataset, *, batch_size: int | None = None) -> ray.data.Dataset:
+    """Stateless map_batches over whole blocks (batch_size=None — a smaller
+    batch_size makes Ray bundle sub-batch blocks into one task and lose
+    block-level parallelism; block size is already bounded at the read)."""
     return pages.map_batches(
         extract_text_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )

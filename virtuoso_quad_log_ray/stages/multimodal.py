@@ -1,0 +1,204 @@
+"""Multimodal columns: opaque binary payloads + typed metadata stages.
+
+A 100 TB training-data pipeline carries image/audio/video as opaque
+``binary`` columns with typed metadata, processed by actor-pool
+``map_batches`` stages (decode libs load once per actor). The sandbox has no
+image/audio codecs, so the DECODE step is stubbed (deterministic fake or
+``NotImplementedError``) while everything Ray-side is real and tested:
+schemas, batch sizing for wide binary rows, actor signatures, and output
+layout.
+
+The pages table's ``html:binary`` column is the stand-in payload; the same
+stages apply verbatim to jpeg/wav/mp4 bytes.
+
+Operators:
+  media_metadata     (url, media_type, n_bytes, digest) — pure metadata,
+                     vectorized, DuckDB-oracle-checkable.
+  byte_histogram     deterministic 16-bin byte-value histogram per payload —
+                     the "feature extraction" plumbing with a fake feature
+                     fn (numpy bincount over the raw bytes).
+  frame_sample       every k-th fixed-size slice of the payload ("frames"),
+                     one row per sampled frame with offset + digest — the
+                     video frame-sampling layout.
+  ImageDecodeStub    the real-decoder seam: raises NotImplementedError
+                     unless constructed with fake=True.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE, read_pages
+from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs
+
+MEDIA_BATCH_SIZE = 256  # wide binary rows: keep batch x concurrency in heap
+
+
+def media_metadata(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Typed metadata for a binary media column: size + md5 digest.
+
+    Stateless vectorized map (no decode); md5 matches DuckDB's for the
+    oracle.
+    """
+    pages = read_pages(sf_dir)
+
+    def meta(batch: pa.Table) -> pa.Table:
+        payload = batch["html"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        digests = [hashlib.md5(v).hexdigest() for v in payload.to_pylist()]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "media_type": pa.array(["text/html"] * len(batch), type=pa.string()),
+                "n_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
+                "digest": pa.array(digests, type=pa.string()),
+            }
+        )
+
+    return pages.map_batches(
+        meta, batch_format="pyarrow", zero_copy_batch=True, batch_size=MEDIA_BATCH_SIZE
+    )
+
+
+MEDIA_METADATA_SQL = (
+    "WITH " + PAGES_SQL_CTE.replace(
+        "SELECT 'https://example.org/",
+        "SELECT 'https://example.org/",
+    )
+    + "\n"
+    # html is synthesized from text in lockstep with sources/pages.py
+    "SELECT url, 'text/html' AS media_type,\n"
+    "       CAST(length('<html><head><title>example.org</title></head><body>"
+    "<nav>home | about | contact</nav><article>' || text || "
+    "'</article><footer>(c) example.org crawl corpus</footer></body></html>') AS BIGINT) AS n_bytes,\n"
+    "       md5('<html><head><title>example.org</title></head><body>"
+    "<nav>home | about | contact</nav><article>' || text || "
+    "'</article><footer>(c) example.org crawl corpus</footer></body></html>') AS digest\n"
+    "FROM pages"
+)
+
+
+class ByteHistogram:
+    """Actor-pool stage: binary payload -> 16-bin byte-value histogram.
+
+    Stands in for batched feature extraction (CLIP embedding, mel
+    spectrogram, ...): per-actor setup in __init__, numpy-vectorized work in
+    __call__, fixed-length list<int64> feature column out.
+    """
+
+    N_BINS = 16
+
+    def __init__(self):
+        # real pipeline: load the featurizer/model once per actor here
+        self._bin_of_byte = (np.arange(256) // (256 // self.N_BINS)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["html"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        feats = []
+        for v in payload.to_pylist():
+            b = np.frombuffer(v, dtype=np.uint8)
+            feats.append(np.bincount(self._bin_of_byte[b], minlength=self.N_BINS).tolist())
+        return pa.table(
+            {
+                "url": batch["url"],
+                "byte_hist": pa.array(feats, type=pa.list_(pa.int64(), self.N_BINS)),
+            }
+        )
+
+
+def byte_histogram(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    return read_pages(sf_dir).map_batches(
+        ByteHistogram, **actor_kwargs(batch_size=MEDIA_BATCH_SIZE)
+    )
+
+
+FRAME_SIZE = 4096  # bytes per pseudo-frame
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+class FrameSampler:
+    """Actor-pool stage: binary payload -> one row per sampled fixed-size
+    slice ("frame"): (url, frame_idx, offset, frame_bytes, digest).
+
+    The video analog samples every k-th decoded frame; here frames are raw
+    byte slices so the fan-out layout (1 row in -> N rows out, frame payload
+    column) is exercised without a codec.
+    """
+
+    def __init__(self, frame_size: int = FRAME_SIZE, stride: int = FRAME_STRIDE):
+        self._size = frame_size
+        self._stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["html"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        urls = batch["url"].to_pylist()
+        out_url, out_idx, out_off, out_bytes, out_dig = [], [], [], [], []
+        for url, v in zip(urls, payload.to_pylist()):
+            n_frames = max(1, (len(v) + self._size - 1) // self._size)
+            for f in range(0, n_frames, self._stride):
+                off = f * self._size
+                chunk = v[off : off + self._size]
+                out_url.append(url)
+                out_idx.append(f)
+                out_off.append(off)
+                out_bytes.append(chunk)
+                out_dig.append(hashlib.md5(chunk).hexdigest())
+        return pa.table(
+            {
+                "url": pa.array(out_url, type=pa.string()),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "offset": pa.array(out_off, type=pa.int64()),
+                "frame": pa.array(out_bytes, type=pa.binary()),
+                "digest": pa.array(out_dig, type=pa.string()),
+            }
+        )
+
+
+def frame_sample(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    return read_pages(sf_dir).map_batches(
+        FrameSampler, **actor_kwargs(batch_size=MEDIA_BATCH_SIZE)
+    )
+
+
+class ImageDecodeStub:
+    """The real-decoder seam. The container has no image/audio libraries, so
+    decoding raises unless ``fake=True`` supplies the deterministic stand-in
+    (solid 1x1 "pixel" derived from the payload digest).
+
+    Swap ``_decode`` for PIL/torchvision in production; nothing else in the
+    stage or pipeline changes.
+    """
+
+    def __init__(self, fake: bool = False):
+        self._fake = fake
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not self._fake:
+            raise NotImplementedError(
+                "no image codec in this environment; construct with fake=True"
+            )
+        d = hashlib.md5(payload).digest()
+        return np.array([[d[0], d[1], d[2]]], dtype=np.uint8)  # 1x1 RGB
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["html"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        pixels = [self._decode(v).reshape(-1).tolist() for v in payload.to_pylist()]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "pixels": pa.array(pixels, type=pa.list_(pa.int64(), 3)),
+            }
+        )

@@ -51,10 +51,22 @@ def actor_kwargs(*, batch_size: int = 2048, max_pool: int | None = None) -> dict
     deadlocks (observed at num_cpus=4: 4/4 CPU held by actors, read tasks
     pending forever). Fractional actors keep >= 1 core schedulable for
     tasks at any pool size; pool max scales with the cluster.
+
+    The pool MIN also scales with the cluster (cpus/2 actors = cpus/4
+    reserved CPUs): an autoscaling pool starting at 1 actor ramps ~1 actor/s,
+    so a pool that must grow from 1 throttles the whole pipeline via
+    backpressure for the first minute — measured: the headline stage showed
+    ZERO speedup from 2 to 8 CPUs until the floor was raised, and average
+    actor concurrency stayed at ~2 of 7 with a floor of cpus/4.
     """
     cpus = cluster_cpus()
+    hi = max_pool or max(2, cpus - 1)
+    # floor cpus//2 (not cpus-1): pipelines stacking TWO actor pools plus
+    # join aggregators at small cpu counts must leave >= 1 whole CPU of
+    # headroom for task operators or they deadlock (see module docstring).
+    lo = min(max(1, cpus // 2), hi)
     return {
-        "concurrency": (1, max_pool or max(2, cpus - 1)),
+        "concurrency": (lo, hi),
         "batch_size": batch_size,
         "num_cpus": 0.5,
         "batch_format": "pyarrow",

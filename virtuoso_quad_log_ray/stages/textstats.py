@@ -98,6 +98,43 @@ def fingerprints(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Da
 FINGERPRINTS_SQL = "WITH " + PAGES_SQL_CTE + "\nSELECT url, md5(text) AS fingerprint FROM pages"
 
 
+# BPE-ish tokenization: letter runs, digit runs, and single punctuation marks
+# each count as one token (the usual pre-tokenizer regex shape). Both Arrow
+# and DuckDB run RE2, so counts agree exactly.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Per-page token counts: whitespace tokens + BPE-ish regex tokens
+    (training-data pipeline budget accounting). Fully vectorized."""
+    pages = read_pages(sf_dir, include_html=False)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ws = pc.list_value_length(pc.split_pattern(text, " "))
+        bpe = pc.count_substring_regex(text, _BPE_PATTERN)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "n_ws_tokens": pc.cast(ws, pa.int64()),
+                "n_bpe_tokens": pc.cast(bpe, pa.int64()),
+            }
+        )
+
+    return pages.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TOKEN_COUNTS_SQL = (
+    "WITH " + PAGES_SQL_CTE + "\n"
+    "SELECT url,\n"
+    "       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,\n"
+    f"       len(regexp_extract_all(text, '{_BPE_PATTERN}'))::BIGINT AS n_bpe_tokens\n"
+    "FROM pages"
+)
+
+
 # ---------------------------------------------------------------------------
 # language ID: corpus-trained char-trigram profiles, broadcast + score
 # ---------------------------------------------------------------------------
