@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frame_sample": lambda sf: mm.frame_sample(sf),
         # --- similarity search over embeddings ---
         "ann_topk": lambda sf: sim.ann_topk(sf),
+        "ann_topk_ivf": lambda sf: sim.ann_topk_ivf(sf),
         "emb_neardup_lsh": lambda sf: sim.embedding_neardup_pairs(sf),
         # --- relational coverage (filters/aggregates/joins/sort/windows) ---
         "rel_pricing_summary": lambda sf: rel.pricing_summary(sf),

@@ -67,6 +67,20 @@ class TestSimilarity:
             sim.ann_topk(SF_SMALL), oracle, sim.ann_topk_sql(), ["query_id", "rank"]
         )
 
+    def test_ann_topk_ivf_recall(self):
+        """IVF with generous probes must recover most exact neighbors
+        (deterministic: seeded init, fixed data)."""
+        exact = to_arrow(sim.ann_topk(SF_SMALL))
+        approx = to_arrow(sim.ann_topk_ivf(SF_SMALL, n_lists=8, n_probe=4))
+        ex = set(zip(exact["query_id"].to_pylist(), exact["neighbor_id"].to_pylist()))
+        ap = set(zip(approx["query_id"].to_pylist(), approx["neighbor_id"].to_pylist()))
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.5, f"IVF recall {recall:.2f}"
+        # determinism
+        again = to_arrow(sim.ann_topk_ivf(SF_SMALL, n_lists=8, n_probe=4))
+        assert sorted(zip(*[approx[c].to_pylist() for c in approx.column_names])) == \
+               sorted(zip(*[again[c].to_pylist() for c in again.column_names]))
+
     def test_emb_neardup_runs(self):
         t = to_arrow(sim.embedding_neardup_pairs(SF_SMALL))
         # rows-only: pairs (possibly none at high threshold); all verified >= tau

@@ -63,6 +63,25 @@ class TestRuns:
         man = load_manifest(root)
         assert man.run_index == 1
 
+    def test_roundtrip_read_back(self, tmp_path):
+        """write_rdfpatch -> read_rdfpatch reproduces the quad multiset
+        (publication-surface round-trip; apply() semantics live in
+        test_rdfpatch)."""
+        from tests.conftest import to_arrow
+        from virtuoso_quad_log_ray.pipelines.changelog import quads_version
+        from virtuoso_quad_log_ray.sources.rdfpatch_files import read_rdfpatch
+
+        root = str(tmp_path / "sink")
+        m = runs.run_dump(SF_SMALL, root, epoch="E1", cfg=CFG)
+        back = to_arrow(read_rdfpatch(root))
+        assert len(back) == m.quad_count
+        assert set(back["op"].to_pylist()) == {"+"}
+        # same quad set as the v1 snapshot the dump ran over
+        quads = to_arrow(quads_version(SF_SMALL, 1, CFG))
+        want = set(zip(*[quads[c].to_pylist() for c in ("s", "p", "o", "g")]))
+        got = set(zip(*[back[c].to_pylist() for c in ("s", "p", "o", "g")]))
+        assert got == want
+
     def test_sync_requires_dump(self, tmp_path):
         with pytest.raises(RuntimeError):
             runs.run_sync(SF_SMALL, str(tmp_path / "x"), checkpoint="20240101010101", cfg=CFG)

@@ -1,0 +1,133 @@
+"""Canonical quad materialization: sorted Parquet adjacency partitions.
+
+north_star: "Canonical (subj, pred, obj, graph=url) quads are materialized
+as sorted Parquet adjacency partitions". Layout decisions for 10^12-doc
+scale:
+
+- Partition key = ``bucket = hash64(g) % n_buckets`` — NOT the raw graph
+  IRI: one directory per graph would mean millions of directories; hash
+  buckets bound the partition count while keeping every graph's quads
+  co-located in exactly one partition (the graph-splitter's dir-per-graph
+  layout, split-graphs.sh:73-141, generalized to bounded fan-out).
+- Quads are sorted (g, s, p, o) WITHIN each bucket partition — adjacency
+  order for graph-local scans; no global sort (the reference's
+  ``ORDER BY ?g``, dump_nquads.sql:44-49, is unnecessary under hashing).
+- One ``groupby(bucket).map_groups`` shuffle does partitioning + sorting +
+  writing; only file metadata returns to the driver, which commits a
+  manifest last (resumable: a re-run skips buckets already committed).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.state.manifest import (
+    FileEntry,
+    RunManifest,
+    commit_manifest,
+    load_manifest,
+)
+
+
+def _bucket_of(g: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
+    """Stable bucket id per graph IRI. Hash cost is O(unique graphs), not
+    O(rows): dictionary-encode, hash the dictionary, take by index."""
+    import hashlib
+
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    enc = pc.dictionary_encode(g)
+    uniq = enc.dictionary.to_pylist()
+    buckets = pa.array(
+        [
+            int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "big")
+            % n_buckets
+            for u in uniq
+        ],
+        type=pa.int64(),
+    )
+    return pc.take(buckets, enc.indices)
+
+
+def materialize_quads(
+    quads: ray.data.Dataset,
+    out_root: str,
+    *,
+    epoch: str,
+    n_buckets: int = 64,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> RunManifest:
+    """quads (s, p, o, g) -> ``out_root/bucket=K/part.parquet`` sorted
+    adjacency partitions + committed manifest. Skips buckets already in a
+    committed manifest with the same epoch (per-partition resume)."""
+    os.makedirs(out_root, exist_ok=True)
+    prev = load_manifest(out_root)
+    done: set[str] = (
+        {e.name for e in prev.files} if prev and prev.epoch == epoch else set()
+    )
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return b.append_column("bucket", _bucket_of(b["g"], n_buckets))
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        bucket = int(group["bucket"][0].as_py())
+        rel = f"bucket={bucket:05d}/part.parquet"
+        if rel in done:  # committed by a prior run of this epoch
+            return _meta_table(rel, group, skipped=True)
+        import pyarrow.parquet as pq
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(c, "ascending") for c in ("g", "s", "p", "o")],
+        )
+        t = group.take(order).select(["s", "p", "o", "g"])
+        path = os.path.join(out_root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".part"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return _meta_table(rel, t, skipped=False)
+
+    def _meta_table(rel: str, t: pa.Table, *, skipped: bool) -> pa.Table:
+        return pa.table(
+            {
+                "name": pa.array([rel], type=pa.string()),
+                "amount": pa.array([len(t)], type=pa.int64()),
+                "skipped": pa.array([skipped]),
+            }
+        )
+
+    meta = (
+        quads.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    files = sorted(
+        (FileEntry(r["name"], "", int(r["amount"]), "", 0) for r in meta),
+        key=lambda e: e.name,
+    )
+    manifest = RunManifest(
+        epoch=epoch,
+        checkpoint="",
+        kind="materialize",
+        quad_count=sum(e.amount for e in files),
+        file_count=len(files),
+        files=files,
+    )
+    commit_manifest(out_root, manifest)
+    return manifest
+
+
+def read_materialized(out_root: str) -> ray.data.Dataset:
+    """Committed adjacency partitions -> quad Dataset (manifest-listed)."""
+    manifest = load_manifest(out_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest under {out_root}")
+    paths = [os.path.join(out_root, e.name) for e in manifest.files]
+    return ray.data.read_parquet(paths)

@@ -124,6 +124,134 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ranked WHERE ran
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path for top-k search
+# ---------------------------------------------------------------------------
+
+
+def _train_centroids(
+    vecs: ray.data.Dataset, n_lists: int, dim: int, iters: int = 2
+) -> np.ndarray:
+    """Distributed mini k-means: deterministic init (first n_lists vectors),
+    then `iters` Lloyd rounds where each block emits PARTIAL per-cluster
+    (sum, count) — a combiner-style pre-aggregate, so only n_lists x dim
+    floats per block reach the driver, never the vectors."""
+    import pyarrow.compute as _pc
+
+    first = vecs.limit(n_lists).take_all()
+    centroids = np.asarray([r["embedding"] for r in first], dtype=np.float64)
+
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            assign = np.argmin(
+                ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "sum": pa.array(sums.tolist(), type=pa.list_(pa.float64())),
+                    "count": pa.array(counts.astype(np.int64)),
+                }
+            )
+
+        parts = vecs.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for row in parts:
+            sums[row["cluster"]] += np.asarray(row["sum"])
+            counts[row["cluster"]] += row["count"]
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return centroids
+
+
+def ann_topk_ivf(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k via IVF: vectors are bucketed by nearest
+    k-means centroid; each query scans only its ``n_probe`` nearest lists.
+
+    Same output layout as ``ann_topk`` (query_id, rank, neighbor_id) but
+    approximate — no SQL oracle (rows-only); recall vs the exact variant is
+    asserted in tests. Scale shape: centroids trained with combiner-style
+    partial aggregates, broadcast once; the scan filters each batch to
+    probed lists BEFORE the matmul, cutting compute ~n_probe/n_lists.
+    """
+    import pyarrow.parquet as pq
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    dim = len(pq.read_table(emb_path, columns=["embedding"]).column(0)[0])
+    vecs = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    centroids = _train_centroids(vecs, n_lists, dim)
+    qids, q = _load_queries(sf_dir, n_queries)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # per-query probed lists (by centroid distance)
+    qd = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probed = np.argsort(qd, axis=1)[:, :n_probe]  # (n_queries, n_probe)
+    state_ref = ray.put((qids, qn, centroids, probed))
+
+    def ivf_scan(batch: pa.Table) -> pa.Table:
+        qids_, qn_, c_, probed_ = ray.get(state_ref)
+        vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        assign = np.argmin(((m[:, None, :] - c_[None, :, :]) ** 2).sum(axis=2), axis=1)
+        m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids_)):
+            mask = np.isin(assign, probed_[qi])
+            if not mask.any():
+                continue
+            sims = qn_[qi] @ m_norm[mask].T
+            ids = vec_ids[mask]
+            idx = np.lexsort((ids, -sims))[: k + 1]
+            out_q.extend([int(qids_[qi])] * len(idx))
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partial = vecs.map_batches(
+        ivf_scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        sims = group["sim"].to_numpy()
+        nids = group["neighbor_id"].to_numpy().astype(np.int64)
+        mask = nids != qid
+        sims, nids = sims[mask], nids[mask]
+        idx = np.lexsort((nids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(idx), type=pa.int64()),
+                "rank": pa.array(np.arange(1, len(idx) + 1, dtype=np.int64)),
+                "neighbor_id": pa.array(nids[idx]),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed near-duplicate pairs (scale path)
 # ---------------------------------------------------------------------------
 
