@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": lambda sf: tx.fingerprints(sf),
         "text_lang_id": lambda sf: tx.lang_id(sf),
         "text_token_counts": lambda sf: tx.token_counts(sf),
+        "text_winnow_fp": lambda sf: tx.winnow_fingerprints(sf),
         # --- multimodal binary-column stages (decode stubbed, plumbing real) ---
         "mm_media_metadata": lambda sf: mm.media_metadata(sf),
         "mm_byte_histogram": lambda sf: mm.byte_histogram(sf),

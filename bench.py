@@ -84,12 +84,18 @@ def run_suite() -> dict:
     headline_sec = round(time.perf_counter() - t0, 3)
     timings["kg_quads_headline"] = headline_sec
 
+    from virtuoso_quad_log_ray.stages import canonicalize as cz
+    from virtuoso_quad_log_ray.stages import textstats as tx
+
     timed("kg_changelog", lambda: cl.changelog(SF_DIR).count())
     timed("kg_dedup_exact", lambda: kg.dedup_quads(kg.build_quads(SF_DIR)).count())
     timed("kg_chunk_plan", lambda: kg.chunk_plan(SF_DIR, max_quads_per_file=50).count())
     timed("dedup_ngram_jaccard", lambda: dd.ngram_jaccard_pairs(SF_DIR).count())
     timed("dedup_minhash_lsh", lambda: dd.minhash_lsh_pairs(SF_DIR).count())
+    timed("dedup_clusters", lambda: cz.canonicalize_pages(SF_DIR).count())
+    timed("text_token_counts", lambda: tx.token_counts(SF_DIR).count())
     timed("ann_topk", lambda: sim.ann_topk(SF_DIR).count())
+    timed("ann_topk_ivf", lambda: sim.ann_topk_ivf(SF_DIR).count())
     timed("rel_pricing_summary", lambda: rel.pricing_summary(SF_DIR).count())
     timed("rel_events_hourly", lambda: rel.events_hourly(SF_DIR).count())
 

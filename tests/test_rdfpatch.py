@@ -38,6 +38,39 @@ def test_escape_roundtrip(raw, expected):
     assert rp.unescape_literal_scalar(expected) == raw
 
 
+def test_escape_roundtrip_property():
+    """Any unicode literal survives escape -> unescape (hypothesis).
+    The reference documents lossy cases only for sequences it never emits
+    (utils.sql:68-91); our renderer emits none of them either."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=200))
+    def check(s):
+        esc = rp.escape_literal(pa.array([s])).to_pylist()[0]
+        assert rp.unescape_literal_scalar(esc) == s
+        # escaped form is line-safe: no raw newline/CR/quote breaks the
+        # one-line patch format
+        assert "\n" not in esc and "\r" not in esc
+
+    check()
+
+
+def test_control_chars_corpus():
+    """U+0001..U+001F: the 6 charclass-escaped controls rewrite, the rest
+    pass through raw (matching vql_escape_chars, utils.sql:92-103)."""
+    escaped_set = {0x07, 0x08, 0x09, 0x0A, 0x0C, 0x0D}
+    for cp in range(1, 0x20):
+        raw = f"x{chr(cp)}y"
+        out = rp.escape_literal(pa.array([raw])).to_pylist()[0]
+        if cp in escaped_set:
+            assert chr(cp) not in out and "\\" in out, hex(cp)
+        else:
+            assert out == raw, hex(cp)
+        assert rp.unescape_literal_scalar(out) == raw
+
+
 def test_format_iri_and_bnode():
     out = rp.format_iri(pa.array(["http://ex.org/a", "_:b1"])).to_pylist()
     assert out == ["<http://ex.org/a>", "_:b1"]

@@ -51,6 +51,21 @@ class TestTextStats:
     def test_fingerprints(self, oracle):
         assert_matches_oracle(tx.fingerprints(SF_SMALL), oracle, tx.FINGERPRINTS_SQL, ["url"])
 
+    def test_winnow_fingerprints(self):
+        """Deterministic; byte-identical mirror clones get identical
+        fingerprint sets; near-dups (' extra' suffix) share most content so
+        their counts stay close."""
+        a = to_arrow(tx.winnow_fingerprints(SF_SMALL))
+        b = to_arrow(tx.winnow_fingerprints(SF_SMALL))
+        da = dict(zip(a["url"].to_pylist(),
+                      zip(a["n_fingerprints"].to_pylist(), a["fp_xor"].to_pylist())))
+        db = dict(zip(b["url"].to_pylist(),
+                      zip(b["n_fingerprints"].to_pylist(), b["fp_xor"].to_pylist())))
+        assert da == db
+        mirrors = [u for u in da if u.endswith("?mirror=1")]
+        assert len(mirrors) == 20
+        assert all(da[u] == da[u[: -len("?mirror=1")]] for u in mirrors)
+
     def test_lang_id_runs_and_is_deterministic(self):
         a = to_arrow(tx.lang_id(SF_SMALL))
         b = to_arrow(tx.lang_id(SF_SMALL))

@@ -42,9 +42,17 @@ class EngineConfig:
     jaccard_threshold: float = 0.8
     shingle_size: int = 3  # word 3-grams
 
-    # Salting factor for hot-key groupby shuffles (popular entities /
-    # duplicate pages — north_rule's named hazard).
-    salt_factor: int = 8
+    # Hot-key skew (north_rule's named hazard: popular entities, duplicate
+    # pages) is handled structurally rather than by a salt knob:
+    #   - associative aggregates (count/min/sum) pre-aggregate per block
+    #     before the shuffle (Ray's groupby combiners), so a hot key ships
+    #     one row per upstream block;
+    #   - quadratic join keys use a document-frequency cap
+    #     (dedup.ngram_jaccard_pairs max_shingle_freq);
+    #   - partition fan-out is bounded by hash-bucketing, not per-key dirs
+    #     (pipelines/materialize.py).
+    # Default document-frequency cap used when a caller opts in.
+    default_max_shingle_freq: int = 1000
 
 
 DEFAULT_CONFIG = EngineConfig()

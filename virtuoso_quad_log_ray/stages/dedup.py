@@ -98,21 +98,58 @@ def _shingle_batch(batch: pa.Table, n: int) -> tuple[list[str], list[list[str]]]
 
 
 def _shingle_rows(sf_dir: str, n: int) -> ray.data.Dataset:
-    """pages -> rows (url, shingle, size) where size = |distinct shingles|."""
+    """pages -> rows (url, shingle, size) where size = |distinct shingles|.
+
+    Fully Arrow-vectorized: tokenize with split_pattern, build n-grams by
+    joining the flattened token array against itself at offsets 1..n-1
+    (valid where the first and last token share a parent row), then one
+    hash group_by for the per-(row, shingle) distinct + per-row counts.
+    No Python loop over documents or tokens.
+    """
     pages = read_pages(sf_dir, include_html=False)
 
     def explode(batch: pa.Table) -> pa.Table:
-        urls, shingle_lists = _shingle_batch(batch, n)
-        u, s, z = [], [], []
-        for url, shingles in zip(urls, shingle_lists):
-            u.extend([url] * len(shingles))
-            s.extend(shingles)
-            z.extend([len(shingles)] * len(shingles))
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        tokens = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(tokens)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(tokens)
+        if isinstance(parents, pa.ChunkedArray):
+            parents = parents.combine_chunks()
+        m = len(flat)
+        if m < n:
+            return pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "shingle": pa.array([], type=pa.string()),
+                    "size": pa.array([], type=pa.int64()),
+                }
+            )
+        # windows of n consecutive flat tokens, valid iff endpoints share a row
+        views = [flat.slice(k, m - n + 1) for k in range(n)]
+        shingles = pc.binary_join_element_wise(*views, " ")
+        first_par = parents.slice(0, m - n + 1)
+        valid = pc.equal(first_par, parents.slice(n - 1, m - n + 1))
+        shingles = pc.filter(shingles, valid)
+        par = pc.filter(first_par, valid)
+        # distinct (row, shingle) + per-row distinct counts in ONE group_by
+        distinct = (
+            pa.table({"i": par, "shingle": shingles}).group_by(["i", "shingle"]).aggregate([])
+        )
+        counts = distinct.group_by(["i"]).aggregate([("shingle", "count")])
+        size_by_row = np.zeros(len(batch), dtype=np.int64)
+        size_by_row[counts["i"].to_numpy().astype(np.int64)] = counts[
+            "shingle_count"
+        ].to_numpy()
+        idx = distinct["i"]
         return pa.table(
             {
-                "url": pa.array(u, type=pa.string()),
-                "shingle": pa.array(s, type=pa.string()),
-                "size": pa.array(z, type=pa.int64()),
+                "url": pc.take(url, idx),
+                "shingle": distinct["shingle"],
+                "size": pa.array(size_by_row[idx.to_numpy().astype(np.int64)]),
             }
         )
 
@@ -173,7 +210,15 @@ def ngram_jaccard_pairs(
     )
 
     def pair_key(batch: pa.Table) -> pa.Table:
-        keep = pc.less(batch["url_l"], batch["url_r"])
+        # size-ratio prune (EXACT, no false negatives): J(A,B) <= min/max of
+        # the set sizes, so ratio < tau can never reach the threshold. This
+        # drops most candidate rows BEFORE the expensive pair groupby.
+        sl = pc.cast(batch["size_l"], pa.float64())
+        sr = pc.cast(batch["size_r"], pa.float64())
+        ratio_ok = pc.greater_equal(
+            pc.min_element_wise(sl, sr), pc.multiply(pc.max_element_wise(sl, sr), tau)
+        )
+        keep = pc.and_(pc.less(batch["url_l"], batch["url_r"]), ratio_ok)
         b = batch.filter(keep)
         key = pc.binary_join_element_wise(
             b["url_l"],

@@ -135,6 +135,61 @@ TOKEN_COUNTS_SQL = (
 )
 
 
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 16  # winnowing window
+
+
+
+def winnow_fingerprints(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): rolling
+    Rabin-Karp hash over char k-grams, keep the min hash of each sliding
+    window -> a sparse, position-robust fingerprint set per document.
+
+    Output: (url, n_fingerprints, fp_xor) — the selected-hash count and
+    their XOR (an order-free digest of the set), deterministic. The rolling
+    hash is numpy-vectorized: hashes for ALL k-gram positions come from a
+    cumulative polynomial recurrence, window minima from a strided view.
+    Rows-only check (the rolling recurrence is not SQL-expressible).
+    """
+    pages = read_pages(sf_dir, include_html=False)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out_n, out_xor = [], []
+        for text in batch["text"].to_pylist():
+            data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            m = len(data) - WINNOW_K + 1
+            if m < 1:
+                out_n.append(0)
+                out_xor.append(0)
+                continue
+            # polynomial hash of every k-gram, fully vectorized: k=8
+            # multiply-adds over shifted views (mod 2^64 = natural uint64
+            # wraparound) — no per-position Python loop
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(WINNOW_K):
+                coef = np.uint64(pow(257, WINNOW_K - 1 - j, 1 << 64))
+                h += data[j : j + m] * coef
+            if m <= WINNOW_W:
+                sel = np.array([h.min()], dtype=np.uint64)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+                sel = np.unique(win.min(axis=1))
+            out_n.append(int(len(sel)))
+            x = np.uint64(0)
+            for v in sel:
+                x ^= v
+            out_xor.append(int(x))
+        return pa.table(
+            {
+                "url": batch["url"],
+                "n_fingerprints": pa.array(out_n, type=pa.int64()),
+                "fp_xor": pa.array(out_xor, type=pa.uint64()),
+            }
+        )
+
+    return pages.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # language ID: corpus-trained char-trigram profiles, broadcast + score
 # ---------------------------------------------------------------------------
