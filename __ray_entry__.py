@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chunk_plan": lambda sf: kg.chunk_plan(sf, max_quads_per_file=50),
         "kg_rdfpatch_lines": lambda sf: kg.rdfpatch_lines(sf),
         "kg_changelog": lambda sf: cl.changelog(sf),
+        "kg_changelog_stats": lambda sf: cl.changelog_stats(sf),
         # --- document dedup suite (D2 / north_star canonicalization) ---
         "dedup_pages_exact": lambda sf: dd.dedup_pages_exact(sf),
         "dedup_ngram_jaccard": lambda sf: dd.ngram_jaccard_pairs(sf),
@@ -91,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_chunk_plan": kg.chunk_plan_sql(50),
         "kg_rdfpatch_lines": kg.RDFPATCH_LINES_SQL,
         "kg_changelog": cl.changelog_sql(),
+        "kg_changelog_stats": cl.changelog_stats_sql(),
         "dedup_pages_exact": dd.DEDUP_PAGES_EXACT_SQL,
         "dedup_ngram_jaccard": dd.ngram_jaccard_sql(
             cfg.jaccard_threshold, cfg.shingle_size

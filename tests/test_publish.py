@@ -165,6 +165,34 @@ class TestBundlerScenarios:
         st = b.publish()
         assert (st.def_count, st.end_count) == (3, 0)
 
+    def test_publish_metadata_documents(self, tmp_path):
+        """S8: resource-dump.xml lists every zip with md5/length; capability
+        list + source description exist (zipsynchronizer.py:175-232)."""
+        src, pub = str(tmp_path / "src"), str(tmp_path / "pub")
+        b = Bundler(src, pub, max_files=2)
+        _mk_manifest(src, 5)
+        b.publish()
+        written = b.publish_metadata()
+        assert set(written) == {
+            "resource-dump.xml",
+            "capability-list.xml",
+            os.path.join(".well-known", "resourcesync"),
+        }
+        import xml.etree.ElementTree as ET
+
+        ns = {
+            "sm": "http://www.sitemaps.org/schemas/sitemap/0.9",
+            "rs": "http://www.openarchives.org/rs/terms/",
+        }
+        root = ET.parse(os.path.join(pub, "resource-dump.xml")).getroot()
+        locs = [u.find("sm:loc", ns).text for u in root.findall("sm:url", ns)]
+        zips = sorted(n for n in os.listdir(pub) if n.endswith(".zip"))
+        assert len(locs) == len(zips) == 3  # 2 sealed + 1 provisional
+        for u in root.findall("sm:url", ns):
+            md = u.find("rs:md", ns)
+            assert md.get("hash", "").startswith("md5:")
+            assert int(md.get("length")) > 0
+
     def test_unchanged_remainder_not_rewritten(self, tmp_path):
         """is_same skip (zipsynchronizer.py:149): same remainder -> the end
         zip is not recreated."""

@@ -85,3 +85,53 @@ class TestRuns:
     def test_sync_requires_dump(self, tmp_path):
         with pytest.raises(RuntimeError):
             runs.run_sync(SF_SMALL, str(tmp_path / "x"), checkpoint="20240101010101", cfg=CFG)
+
+
+class TestValidation:
+    """C1-C6 analog startup checks (state/validate.py)."""
+
+    def test_missing_input_table(self, tmp_path):
+        from virtuoso_quad_log_ray.state.validate import ValidationError, validate_input
+
+        with pytest.raises(ValidationError):
+            validate_input(str(tmp_path))
+
+    def test_input_schema_ok(self):
+        from virtuoso_quad_log_ray.state.validate import validate_input
+
+        validate_input(SF_SMALL)  # no raise
+
+    def test_sink_size_drift_detected(self, tmp_path):
+        from virtuoso_quad_log_ray.state.manifest import FileEntry, RunManifest, commit_manifest
+        from virtuoso_quad_log_ray.state.validate import ValidationError, validate_sink
+
+        root = str(tmp_path / "sink")
+        os.makedirs(root)
+        with open(os.path.join(root, "rdf_out_x"), "w") as f:
+            f.write("short")
+        commit_manifest(
+            root,
+            RunManifest(
+                epoch="E", checkpoint="00000000000000", kind="dump",
+                files=[FileEntry("rdf_out_x", "g", 1, "m", 9999)],
+            ),
+        )
+        with pytest.raises(ValidationError):
+            validate_sink(root)
+
+    def test_malformed_cursor_detected(self, tmp_path):
+        from virtuoso_quad_log_ray.state import checkpoint as ckpt
+        from virtuoso_quad_log_ray.state.validate import ValidationError, validate_sink
+
+        root = str(tmp_path / "s")
+        ckpt.write_cursor(root, "not-a-ts14")
+        with pytest.raises(ValidationError):
+            validate_sink(root)
+
+    def test_snapshot_probe_detects_change(self):
+        from virtuoso_quad_log_ray.state.validate import SnapshotProbe, ValidationError
+
+        a = SnapshotProbe(n_rows=10, max_doc_id=9)
+        a.assert_unchanged(SnapshotProbe(n_rows=10, max_doc_id=9))  # ok
+        with pytest.raises(ValidationError):
+            a.assert_unchanged(SnapshotProbe(n_rows=11, max_doc_id=10))

@@ -6,7 +6,7 @@ Single dataclass replacing the reference's ~15 env vars
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

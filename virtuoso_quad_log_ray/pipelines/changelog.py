@@ -131,6 +131,26 @@ def changelog(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Datas
     return diff_quads(quads_version(sf_dir, 1, cfg), quads_version(sf_dir, 2, cfg), cfg)
 
 
+def changelog_stats(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """A2 — insert/delete tally over the changelog (the reference counts
+    +/- RDF_QUAD rows per trx file as its consistency probe,
+    dump_nquads.sql:98-143)."""
+    return (
+        changelog(sf_dir, cfg)
+        .groupby("op")
+        .count()
+        .rename_columns({"count()": "n_records"})
+    )
+
+
+def changelog_stats_sql() -> str:
+    return (
+        "SELECT op, count(*) AS n_records FROM (\n"
+        + changelog_sql()
+        + "\n) GROUP BY op"
+    )
+
+
 def apply_changelog(prev: pa.Table, log: pa.Table) -> pa.Table:
     """RDF-patch application semantics (retract then assert) for property
     tests: apply(quads_v1, changelog) == quads_v2 as sets (FIXTURES.md F7)."""

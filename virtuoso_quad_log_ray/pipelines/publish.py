@@ -254,3 +254,75 @@ class Bundler:
     def _zip_contents(self, zip_name: str) -> list[str]:
         with zipfile.ZipFile(os.path.join(self.publish_root, zip_name)) as z:
             return [n for n in z.namelist() if n != "manifest.json"]
+
+    # -- sitemap-XML metadata (S8: zipsynchronizer.publish_metadata
+    #    :175-232, syncdirector source description :90-121) ---------------
+
+    def publish_metadata(self, base_uri: str = "http://example.org/pub") -> list[str]:
+        """Write the ResourceSync-style metadata documents for the current
+        publish state: ``resource-dump.xml`` (one <url> per zip, with md5 /
+        length from the sidecars), ``capability-list.xml``, and
+        ``.well-known/resourcesync`` (source description). Driver-side pure
+        metadata, rewritten whole each run (the reference rewrites and
+        rolls back these files as a unit, zipsynchronizer.py:69-109)."""
+        import json
+        from xml.sax.saxutils import escape as x
+
+        zips = sorted(
+            n
+            for n in os.listdir(self.publish_root)
+            if n.endswith(".zip") and (n.startswith("part_def_") or n.startswith("part_end_"))
+        )
+        url_entries = []
+        for zname in zips:
+            meta_path = os.path.join(self.publish_root, zname + ".meta.json")
+            with open(meta_path) as f:
+                meta = json.load(f)
+            url_entries.append(
+                f"  <url>\n"
+                f"    <loc>{x(base_uri)}/{x(zname)}</loc>\n"
+                f"    <rs:md at=\"true\" hash=\"md5:{meta['md5']}\" length=\"{meta['length']}\""
+                f" type=\"application/zip\"/>\n"
+                f"  </url>"
+            )
+        ns = (
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" '
+            'xmlns:rs="http://www.openarchives.org/rs/terms/"'
+        )
+        dump_xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            f"<urlset {ns}>\n"
+            '  <rs:md capability="resourcedump"/>\n'
+            + "\n".join(url_entries)
+            + "\n</urlset>\n"
+        )
+        cap_xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            f"<urlset {ns}>\n"
+            '  <rs:md capability="capabilitylist"/>\n'
+            f"  <url><loc>{x(base_uri)}/resource-dump.xml</loc>"
+            '<rs:md capability="resourcedump"/></url>\n'
+            "</urlset>\n"
+        )
+        src_xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            f"<urlset {ns}>\n"
+            '  <rs:md capability="description"/>\n'
+            f"  <url><loc>{x(base_uri)}/capability-list.xml</loc>"
+            '<rs:md capability="capabilitylist"/></url>\n'
+            "</urlset>\n"
+        )
+        written = []
+        for rel, body in (
+            ("resource-dump.xml", dump_xml),
+            ("capability-list.xml", cap_xml),
+            (os.path.join(".well-known", "resourcesync"), src_xml),
+        ):
+            path = os.path.join(self.publish_root, rel)
+            os.makedirs(os.path.dirname(path) or self.publish_root, exist_ok=True)
+            tmp = path + ".part"
+            with open(tmp, "w") as f:
+                f.write(body)
+            os.replace(tmp, path)
+            written.append(rel)
+        return written

@@ -55,9 +55,14 @@ def run_dump(
     Idempotent: if a committed dump manifest exists (the vql_rdfdump_info
     marker analog, generate-rdfpatch.sh:277-297), returns it unchanged.
     """
+    from virtuoso_quad_log_ray.state.validate import snapshot_probe, validate_input, validate_sink
+
+    validate_input(sf_dir)
+    validate_sink(out_root)
     existing = load_manifest(out_root)
     if existing is not None and existing.kind == "dump":
         return existing
+    probe = snapshot_probe(sf_dir)
     quads = _with_op(quads_version(sf_dir, version, cfg), "+")
     manifest = write_rdfpatch(
         quads,
@@ -69,6 +74,9 @@ def run_dump(
         run_index=0,
         last_source=f"{sf_dir}#v{version}",
     )
+    # T6 write-quiescence assertion: immutable Parquet makes serializable
+    # fencing free, but assert the input really was unchanged during the run
+    probe.assert_unchanged(snapshot_probe(sf_dir))
     ckpt.write_epoch(out_root, epoch)
     # cursor written AFTER the manifest commit: crash before this line means
     # the next run redoes the dump against the committed (empty) state.
@@ -91,6 +99,10 @@ def run_sync(
     Requires a committed dump (cursor present — parse_trx_logs cursor gate,
     generate-rdfpatch.sh:348-351).
     """
+    from virtuoso_quad_log_ray.state.validate import validate_input, validate_sink
+
+    validate_input(sf_dir)
+    validate_sink(out_root)
     cursor = ckpt.read_cursor(out_root)
     if cursor is None:
         raise RuntimeError("no dump committed yet: run_dump first")

@@ -135,8 +135,6 @@ def _train_centroids(
     then `iters` Lloyd rounds where each block emits PARTIAL per-cluster
     (sum, count) — a combiner-style pre-aggregate, so only n_lists x dim
     floats per block reach the driver, never the vectors."""
-    import pyarrow.compute as _pc
-
     first = vecs.limit(n_lists).take_all()
     centroids = np.asarray([r["embedding"] for r in first], dtype=np.float64)
 
