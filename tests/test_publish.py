@@ -122,6 +122,27 @@ class TestRdfpatchSink:
         assert {e.graph for e in loaded.files} == {"http://hot", "http://cold"}
 
 
+class TestBundlerResolution:
+    """§2.9 extension surface: BUILDER_CLASS-style dynamic loading."""
+
+    def test_default(self):
+        from virtuoso_quad_log_ray.pipelines.publish import resolve_bundler
+
+        assert resolve_bundler() is Bundler
+
+    def test_by_spec(self):
+        from virtuoso_quad_log_ray.pipelines.publish import resolve_bundler
+
+        cls = resolve_bundler("virtuoso_quad_log_ray.pipelines.publish:Bundler")
+        assert cls is Bundler
+
+    def test_rejects_non_bundler(self):
+        from virtuoso_quad_log_ray.pipelines.publish import resolve_bundler
+
+        with pytest.raises((TypeError, AttributeError)):
+            resolve_bundler("os.path:join")
+
+
 class TestBundlerScenarios:
     """The 4 reference scenarios (test_zipsynchronizer.py:25-94)."""
 

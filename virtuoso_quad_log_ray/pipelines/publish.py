@@ -133,6 +133,25 @@ def write_rdfpatch(
     return manifest
 
 
+def resolve_bundler(spec: str | None = None):
+    """User-extension surface (the reference's ``BUILDER_CLASS`` env →
+    dynamic importlib load, rsync.py:29, syncdirector.py:60-61,
+    DEPLOY.md:298-304): ``"module.path:ClassName"`` resolves to any class
+    with a ``Bundler``-compatible constructor + ``publish()``. Default (and
+    the ``GRAFT_BUNDLER`` env fallback) is the built-in zip Bundler."""
+    import importlib
+    import os as _os
+
+    spec = spec or _os.environ.get("GRAFT_BUNDLER")
+    if not spec:
+        return Bundler
+    mod_name, _, cls_name = spec.partition(":")
+    cls = getattr(importlib.import_module(mod_name), cls_name)
+    if not callable(getattr(cls, "publish", None)):
+        raise TypeError(f"{spec} has no publish() method")
+    return cls
+
+
 # ---------------------------------------------------------------------------
 # Incremental bundler (driver-side; zipsynchronizer.py state machine)
 # ---------------------------------------------------------------------------
