@@ -16,13 +16,16 @@ from virtuoso_quad_log_ray.stages import textstats as tx
 class TestCanonicalize:
     def test_connected_components_chain(self):
         """A-B, B-C chained pairs + isolated D-E pair -> two components with
-        min-url canon (requires >1 propagation round)."""
-        pairs = ray.data.from_arrow(
-            pa.table({"url_a": ["b", "a", "d"], "url_b": ["c", "b", "e"]})
-        )
-        t = to_arrow(cz.connected_components(pairs))
-        got = dict(zip(t["url"].to_pylist(), t["canon"].to_pylist()))
-        assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+        min-url canon (requires >1 propagation round). Both execution paths
+        (driver union-find and distributed label propagation) must agree."""
+        want = {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+        for threshold in (2_000_000, 0):  # driver path, then distributed path
+            pairs = ray.data.from_arrow(
+                pa.table({"url_a": ["b", "a", "d"], "url_b": ["c", "b", "e"]})
+            )
+            t = to_arrow(cz.connected_components(pairs, driver_threshold=threshold))
+            got = dict(zip(t["url"].to_pylist(), t["canon"].to_pylist()))
+            assert got == want, f"threshold={threshold}"
 
     def test_canonicalize_pages_vs_oracle(self, oracle):
         assert_matches_oracle(

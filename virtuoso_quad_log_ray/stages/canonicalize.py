@@ -51,11 +51,54 @@ def connected_components(
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     max_rounds: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """(url_a, url_b) pair Dataset -> (url, canon) for every url in a pair.
 
     canon = min url of the connected component (deterministic).
+
+    Adaptive execution: the near-dup PAIR set is tiny relative to the corpus
+    (only pages with a duplicate appear), so when it fits comfortably on the
+    driver (<= driver_threshold edges) a local union-find finishes in
+    milliseconds — every shuffle round saved. Larger graphs run the
+    distributed min-label-propagation fixpoint below. This is the standard
+    production hybrid (e.g. GraphFrames/Spark CC ends with a local solve);
+    both paths produce identical output (asserted in tests).
     """
+    pairs = pairs.materialize()  # consumed 2-3x below (count + either path)
+    n_edges = pairs.count()
+    if n_edges <= driver_threshold:
+        edges_t = pa.concat_tables(
+            [
+                t.select(["url_a", "url_b"])
+                for t in (ray.get(r) for r in pairs.to_arrow_refs())
+                if t.num_columns
+            ]
+        )
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(edges_t["url_a"].to_pylist(), edges_t["url_b"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by label order keeps canon = component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = sorted(set(parent) | {u for u in edges_t["url_a"].to_pylist()} | {u for u in edges_t["url_b"].to_pylist()})
+        table = pa.table(
+            {
+                "url": pa.array(nodes, type=pa.string()),
+                "canon": pa.array([find(u) for u in nodes], type=pa.string()),
+            }
+        )
+        return ray.data.from_arrow(table)
 
     def symmetrize(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -159,11 +202,30 @@ def canonicalize_pages(
     subgraph iterates.
     """
     pairs = ngram_jaccard_pairs(sf_dir, cfg)
-    comp = connected_components(pairs, cfg)
+    comp = connected_components(pairs, cfg).materialize()
 
     pages = read_pages(sf_dir, include_html=False).map_batches(
         lambda b: b.select(["url"]), batch_format="pyarrow", zero_copy_batch=True
     )
+
+    # Attach canon to the full corpus. The component map covers only pages
+    # WITH a duplicate — small — so broadcast it (ray.put once, vectorized
+    # index_in per batch) instead of shuffling the whole corpus through a
+    # left join; fall back to the hash join if it ever outgrows the driver.
+    if comp.count() <= 2_000_000:
+        t = pa.concat_tables(
+            [x for x in (ray.get(r) for r in comp.to_arrow_refs()) if x.num_columns]
+        ).combine_chunks()
+        map_ref = ray.put((t["url"].combine_chunks(), t["canon"].combine_chunks()))
+
+        def finish_bcast(b: pa.Table) -> pa.Table:
+            keys, vals = ray.get(map_ref)
+            idx = pc.index_in(b["url"], keys)
+            canon = pc.coalesce(pc.take(vals, idx), b["url"])
+            return pa.table({"url": b["url"], "canon_url": canon})
+
+        return pages.map_batches(finish_bcast, batch_format="pyarrow", zero_copy_batch=True)
+
     joined = pages.join(
         comp,
         join_type="left_outer",
