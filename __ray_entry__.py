@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": lambda sf: tx.lang_id(sf),
         "text_token_counts": lambda sf: tx.token_counts(sf),
         "text_winnow_fp": lambda sf: tx.winnow_fingerprints(sf),
+        "text_corpus_filter": lambda sf: tx.corpus_filter(sf),
+        "text_stats_by_lang": lambda sf: tx.corpus_stats_by_lang(sf),
         # --- multimodal binary-column stages (decode stubbed, plumbing real) ---
         "mm_media_metadata": lambda sf: mm.media_metadata(sf),
         "mm_byte_histogram": lambda sf: mm.byte_histogram(sf),
@@ -104,6 +106,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": tx.TEXT_QUALITY_SQL,
         "text_fingerprints": tx.FINGERPRINTS_SQL,
         "text_token_counts": tx.TOKEN_COUNTS_SQL,
+        "text_corpus_filter": tx.CORPUS_FILTER_SQL,
+        "text_stats_by_lang": tx.CORPUS_STATS_BY_LANG_SQL,
         "mm_media_metadata": mm.MEDIA_METADATA_SQL,
         "ann_topk": sim.ann_topk_sql(),
         "rel_pricing_summary": rel.PRICING_SUMMARY_SQL,

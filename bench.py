@@ -79,6 +79,7 @@ def run_suite() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return n
 
+    headline_quads(SF_DIR, min(5, REPLICATE))  # warm the worker fleet
     t0 = time.perf_counter()
     quads = headline_quads(SF_DIR, REPLICATE)
     headline_sec = round(time.perf_counter() - t0, 3)

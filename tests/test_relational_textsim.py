@@ -51,6 +51,16 @@ class TestTextStats:
     def test_fingerprints(self, oracle):
         assert_matches_oracle(tx.fingerprints(SF_SMALL), oracle, tx.FINGERPRINTS_SQL, ["url"])
 
+    def test_corpus_filter_vs_oracle(self, oracle):
+        assert_matches_oracle(
+            tx.corpus_filter(SF_SMALL), oracle, tx.CORPUS_FILTER_SQL, ["url"]
+        )
+
+    def test_stats_by_lang_vs_oracle(self, oracle):
+        assert_matches_oracle(
+            tx.corpus_stats_by_lang(SF_SMALL), oracle, tx.CORPUS_STATS_BY_LANG_SQL, ["lang"]
+        )
+
     def test_winnow_fingerprints(self):
         """Deterministic; byte-identical mirror clones get identical
         fingerprint sets; near-dups (' extra' suffix) share most content so

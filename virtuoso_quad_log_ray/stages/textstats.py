@@ -135,6 +135,88 @@ TOKEN_COUNTS_SQL = (
 )
 
 
+# Quality-gate thresholds (a Gopher/C4-style keep/drop rule, frozen so the
+# oracle can reproduce it).
+MIN_TOKENS = 20
+MAX_MEAN_TOKEN_LEN_PPM = 12_000_000  # mean token length <= 12 chars
+MIN_DISTINCT_RATIO_PPM = 300_000  # >= 30% distinct tokens
+
+
+def corpus_filter(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Composite quality gate over the per-page stats: keep pages with
+    enough tokens, sane mean token length, and lexical diversity — the
+    C4/Gopher-rule shape every training-data pipeline applies before
+    tokenization. Pure filter over text_quality's vectorized metrics."""
+    stats = text_quality(sf_dir, cfg)
+
+    def gate(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["n_tokens"], MIN_TOKENS),
+                pc.less_equal(b["mean_token_len_ppm"], MAX_MEAN_TOKEN_LEN_PPM),
+            ),
+            pc.greater_equal(b["distinct_ratio_ppm"], MIN_DISTINCT_RATIO_PPM),
+        )
+        return b.filter(keep).select(["url", "n_tokens"])
+
+    return stats.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CORPUS_FILTER_SQL = (
+    "SELECT url, n_tokens FROM (\n"
+    + TEXT_QUALITY_SQL
+    + f"\n) WHERE n_tokens >= {MIN_TOKENS}"
+    f" AND mean_token_len_ppm <= {MAX_MEAN_TOKEN_LEN_PPM}"
+    f" AND distinct_ratio_ppm >= {MIN_DISTINCT_RATIO_PPM}"
+)
+
+
+def corpus_stats_by_lang(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Per-language corpus accounting: pages, total/mean tokens, total
+    chars — the budget table a multilingual pipeline reports per shard.
+    Pre-aggregated per block before the tiny groupby(lang) shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    pages = read_pages(sf_dir, include_html=False)
+
+    def prep(b: pa.Table) -> pa.Table:
+        tokens = pc.split_pattern(b["text"], " ")
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_tokens": pc.cast(pc.list_value_length(tokens), pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            }
+        )
+
+    agg = (
+        pages.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Count(), Sum("n_tokens"), Sum("n_chars"))
+    )
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_pages": pc.cast(b["count()"], pa.int64()),
+                "total_tokens": pc.cast(b["sum(n_tokens)"], pa.int64()),
+                "total_chars": pc.cast(b["sum(n_chars)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CORPUS_STATS_BY_LANG_SQL = (
+    "WITH " + PAGES_SQL_CTE + "\n"
+    "SELECT lang, count(*) AS n_pages,\n"
+    "       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,\n"
+    "       sum(length(text))::BIGINT AS total_chars\n"
+    "FROM pages GROUP BY lang"
+)
+
+
 WINNOW_K = 8  # k-gram length (chars)
 WINNOW_W = 16  # winnowing window
 
