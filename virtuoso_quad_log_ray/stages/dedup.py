@@ -84,19 +84,6 @@ DEDUP_PAGES_EXACT_SQL = (
 # shingles (shared by ngram / minhash)
 # ---------------------------------------------------------------------------
 
-def _shingle_batch(batch: pa.Table, n: int) -> tuple[list[str], list[list[str]]]:
-    """-> (urls, per-url DISTINCT word-n-gram list). Python loop is over
-    documents (not tokens); the inner join is numpy-free string slicing which
-    is what DuckDB's oracle does too."""
-    urls = batch["url"].to_pylist()
-    out: list[list[str]] = []
-    for text in batch["text"].to_pylist():
-        w = text.split(" ")
-        seen = list(dict.fromkeys(" ".join(w[i : i + n]) for i in range(len(w) - n + 1)))
-        out.append(seen)
-    return urls, out
-
-
 def _shingle_rows(sf_dir: str, n: int) -> ray.data.Dataset:
     """pages -> rows (url, shingle, size) where size = |distinct shingles|.
 
@@ -310,6 +297,12 @@ class MinHashSignatures:
 
     Permutation parameters are built once per actor in __init__ (stateful
     setup), and a per-actor base-hash cache amortizes repeated shingles.
+
+    Fully vectorized: shingles come from the Arrow offset-join construction
+    (same as _shingle_rows), base hashes are computed per UNIQUE shingle
+    (dictionary-encoded), and per-document minima over the (shingles x
+    perms) matrix use a single argsort + minimum.reduceat — no Python loop
+    over documents or shingles in the hot path.
     """
 
     def __init__(self, num_perm: int, shingle_size: int):
@@ -318,24 +311,49 @@ class MinHashSignatures:
         self._cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls, shingle_lists = _shingle_batch(batch, self._n)
-        sigs = []
-        for shingles in shingle_lists:
-            if not shingles:
-                sigs.append(np.zeros(len(self._a), dtype=np.uint64))
-                continue
-            base = np.fromiter(
-                (self._cache.setdefault(s, _base_hash(s)) for s in shingles),
-                dtype=np.uint64,
-                count=len(shingles),
+        n = self._n
+        n_perm = len(self._a)
+        n_docs = len(batch)
+        tokens = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(tokens)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(tokens)
+        if isinstance(parents, pa.ChunkedArray):
+            parents = parents.combine_chunks()
+        m = len(flat)
+        sig_mat = np.zeros((n_docs, n_perm), dtype=np.uint64)
+        if m >= n:
+            views = [flat.slice(k, m - n + 1) for k in range(n)]
+            shingles = pc.binary_join_element_wise(*views, " ")
+            first_par = parents.slice(0, m - n + 1)
+            valid = pc.equal(first_par, parents.slice(n - 1, m - n + 1))
+            shingles = pc.filter(shingles, valid)
+            par = pc.filter(first_par, valid)
+            distinct = (
+                pa.table({"i": par, "sh": shingles}).group_by(["i", "sh"]).aggregate([])
             )
-            # sig[i] = min over shingles of (a_i * h + b_i) mod p  (vectorized outer)
-            prod = base[:, None] * self._a[None, :] + self._b[None, :]
-            sigs.append((prod % _MERSENNE).min(axis=0))
+            # base hash per UNIQUE shingle only (per-actor cache)
+            enc = pc.dictionary_encode(distinct["sh"].combine_chunks())
+            uniq = enc.dictionary.to_pylist()
+            cache = self._cache
+            uniq_h = np.fromiter(
+                (cache.setdefault(s, _base_hash(s)) for s in uniq),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            base = uniq_h[enc.indices.to_numpy().astype(np.int64)]
+            doc_idx = distinct["i"].to_numpy().astype(np.int64)
+            order = np.argsort(doc_idx, kind="stable")
+            base, doc_idx = base[order], doc_idx[order]
+            # (rows x perms) hash matrix, then segment-min per document
+            prod = (base[:, None] * self._a[None, :] + self._b[None, :]) % _MERSENNE
+            present, starts = np.unique(doc_idx, return_index=True)
+            sig_mat[present] = np.minimum.reduceat(prod, starts, axis=0)
         return pa.table(
             {
                 "url": batch["url"],
-                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
+                "sig": pa.array(sig_mat.tolist(), type=pa.list_(pa.uint64())),
             }
         )
 
