@@ -450,38 +450,53 @@ def minhash_lsh_pairs(
 
 class SimHashStage:
     """Actor-pool stage: pages -> (url, simhash:uint64). 64-bit SimHash over
-    whitespace tokens, stable blake2b token hashes cached per actor."""
+    whitespace tokens; blake2b hashes computed per UNIQUE token (cached per
+    actor), per-document bit votes via one argsort + add.reduceat — no
+    Python loop over documents."""
 
     def __init__(self):
         self._cache: dict[str, int] = {}
 
-    def _token_hash(self, tok: str) -> int:
-        h = self._cache.get(tok)
-        if h is None:
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-            self._cache[tok] = h
-        return h
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch["text"].to_pylist():
-            toks = text.split(" ")
-            if not toks:
-                out.append(0)
-                continue
-            hashes = np.fromiter(
-                (self._token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
+        n_docs = len(batch)
+        tokens = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(tokens)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(tokens)
+        sims = np.zeros(n_docs, dtype=np.uint64)
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            uniq = enc.dictionary.to_pylist()
+            cache = self._cache
+            uniq_h = np.fromiter(
+                (
+                    cache.setdefault(
+                        t,
+                        int.from_bytes(
+                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                        ),
+                    )
+                    for t in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
             )
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int32
-            )
-            votes = bits.sum(axis=0) * 2 - len(toks)
-            sim = np.uint64(0)
-            for bit_idx in np.nonzero(votes > 0)[0]:
-                sim |= np.uint64(1) << np.uint64(bit_idx)
-            out.append(int(sim))
+            hashes = uniq_h[enc.indices.to_numpy().astype(np.int64)]
+            doc_idx = parents.to_numpy().astype(np.int64)
+            order = np.argsort(doc_idx, kind="stable")
+            hashes, doc_idx = hashes[order], doc_idx[order]
+            bits = (
+                (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            ).astype(np.int32)
+            present, starts = np.unique(doc_idx, return_index=True)
+            token_counts = np.diff(np.append(starts, len(doc_idx)))
+            votes = np.add.reduceat(bits, starts, axis=0) * 2 - token_counts[:, None]
+            sel = (votes > 0).astype(np.uint64)
+            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            sims[present] = (sel * weights[None, :]).sum(axis=1, dtype=np.uint64)
         return pa.table(
-            {"url": batch["url"], "simhash": pa.array(out, type=pa.uint64())}
+            {"url": batch["url"], "simhash": pa.array(sims, type=pa.uint64())}
         )
 
 
