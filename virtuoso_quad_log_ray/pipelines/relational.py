@@ -113,23 +113,25 @@ def revenue_by_nation(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.da
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    cust_map = dict(zip(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy()))
-    nat_map = dict(zip(nat["n_nationkey"].to_numpy(), nat["n_name"].to_pylist()))
-    lookup_ref = ray.put((cust_map, nat_map))
+    # pre-resolve customer -> nation NAME on the driver (dimension-sized),
+    # broadcast two parallel arrays for a vectorized index_in lookup
+    c_keys = cust["c_custkey"].combine_chunks()
+    c_names = pc.take(
+        nat["n_name"].combine_chunks(),
+        pc.index_in(cust["c_nationkey"].combine_chunks(), nat["n_nationkey"].combine_chunks()),
+    )
+    lookup_ref = ray.put((c_keys, c_names))
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     class AttachNation:
         def __init__(self):
-            self._cust, self._nat = ray.get(lookup_ref)
+            self._keys, self._names = ray.get(lookup_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            custkeys = batch["o_custkey"].to_numpy()
-            names = [self._nat[self._cust[k]] for k in custkeys]
+            names = pc.take(self._names, pc.index_in(batch["o_custkey"], self._keys))
             # per-row cents before the Sum (exact integer aggregation)
-            return pa.table(
-                {"n_name": pa.array(names, type=pa.string()), "price_c": _cents(batch["o_totalprice"])}
-            )
+            return pa.table({"n_name": names, "price_c": _cents(batch["o_totalprice"])})
 
     from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs
 
