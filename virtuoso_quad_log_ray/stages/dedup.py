@@ -207,17 +207,31 @@ def ngram_jaccard_pairs(
         )
         keep = pc.and_(pc.less(batch["url_l"], batch["url_r"]), ratio_ok)
         b = batch.filter(keep)
-        key = pc.binary_join_element_wise(
+        payload = pc.binary_join_element_wise(
             b["url_l"],
             b["url_r"],
             pc.cast(b["size_l"], pa.string()),
             pc.cast(b["size_r"], pa.string()),
             _SEP,
         )
-        return pa.table({"pair": key})
+        # group key = 16-byte hash of the payload: the groupby's sort cost
+        # scales with key bytes, and the full pair string is ~100 chars.
+        # The payload is functionally dependent on the key (collision odds
+        # ~2^-128), so it rides along as a Min aggregate.
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        keys = [
+            hashlib.blake2b(v.encode(), digest_size=16).hexdigest()
+            for v in payload.to_pylist()
+        ]
+        return pa.table(
+            {"pair_h": pa.array(keys, type=pa.string()), "payload": payload}
+        )
+
+    from ray.data.aggregate import Count, Min
 
     pairs = joined.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
-    counted = pairs.groupby("pair").count()
+    counted = pairs.groupby("pair_h").aggregate(Count(), Min("payload"))
 
     def finalize(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -228,7 +242,7 @@ def ngram_jaccard_pairs(
                     "jaccard_ppm": pa.array([], type=pa.int64()),
                 }
             )
-        parts = pc.split_pattern(batch["pair"], _SEP)
+        parts = pc.split_pattern(batch["min(payload)"], _SEP)
         url_a = pc.list_element(parts, 0)
         url_b = pc.list_element(parts, 1)
         size_a = pc.cast(pc.list_element(parts, 2), pa.int64()).to_numpy()
