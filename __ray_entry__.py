@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders": lambda sf: rel.top_orders(sf),
         "rel_events_hourly": lambda sf: rel.events_hourly(sf),
         "rel_latest_event": lambda sf: rel.latest_event_per_user(sf),
+        "rel_user_sessions": lambda sf: rel.user_sessions(sf),
         "rel_filtered_events": lambda sf: rel.filtered_event_stats(sf),
     }
 
@@ -115,5 +116,6 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_orders": rel.top_orders_sql(),
         "rel_events_hourly": rel.EVENTS_HOURLY_SQL,
         "rel_latest_event": rel.LATEST_EVENT_SQL,
+        "rel_user_sessions": rel.USER_SESSIONS_SQL,
         "rel_filtered_events": rel.FILTERED_EVENT_STATS_SQL,
     }

@@ -36,6 +36,11 @@ class TestRelational:
             rel.latest_event_per_user(SF_SMALL), oracle, rel.LATEST_EVENT_SQL, ["user_id"]
         )
 
+    def test_user_sessions(self, oracle):
+        assert_matches_oracle(
+            rel.user_sessions(SF_SMALL), oracle, rel.USER_SESSIONS_SQL, ["user_id"]
+        )
+
     def test_filtered_events(self, oracle):
         assert_matches_oracle(
             rel.filtered_event_stats(SF_SMALL), oracle, rel.FILTERED_EVENT_STATS_SQL,

@@ -288,6 +288,65 @@ FROM ranked WHERE rn = 1
 """.strip()
 
 
+# --- gap-based sessionization (T7 streaming-window analog) ----------------
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+def user_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Per-user session stats with 30-minute-gap sessionization — the
+    streaming session-window op expressed as groupby(user).map_groups:
+    sort by ts within the group (vectorized), split where the gap exceeds
+    the threshold (one diff + cumsum), aggregate per user. Event-time only;
+    no wall-clock."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        col = group["ts"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ts = np.sort(col.to_numpy().astype("datetime64[s]").astype(np.int64))
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > SESSION_GAP_S).sum())
+        # session lengths in events: split indices -> segment sizes
+        bounds = np.flatnonzero(gaps > SESSION_GAP_S) + 1
+        sizes = np.diff(np.concatenate(([0], bounds, [len(ts)])))
+        return pa.table(
+            {
+                "user_id": pc.cast(group["user_id"], pa.int64()).slice(0, 1),
+                "n_events": pa.array([len(ts)], type=pa.int64()),
+                "n_sessions": pa.array([n_sessions], type=pa.int64()),
+                "max_session_events": pa.array([int(sizes.max())], type=pa.int64()),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+USER_SESSIONS_SQL = f"""
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessioned AS (
+    SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+),
+per_session AS (
+    SELECT user_id, session_id, count(*) AS n FROM sessioned GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       sum(n)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_sessions,
+       max(n)::BIGINT AS max_session_events
+FROM per_session GROUP BY user_id
+""".strip()
+
+
 # --- IN-list filter + aggregate (F1 excluded-graphs analog) ---------------
 
 def filtered_event_stats(sf_dir: str) -> ray.data.Dataset:
