@@ -34,7 +34,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "20"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "50"))
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -99,6 +99,23 @@ def run_suite() -> dict:
     timed("ann_topk_ivf", lambda: sim.ann_topk_ivf(SF_DIR).count())
     timed("rel_pricing_summary", lambda: rel.pricing_summary(SF_DIR).count())
     timed("rel_events_hourly", lambda: rel.events_hourly(SF_DIR).count())
+
+    # write path: canonical quads -> sorted Parquet adjacency partitions
+    import shutil
+    import tempfile
+
+    from virtuoso_quad_log_ray.pipelines.materialize import materialize_quads
+
+    out = tempfile.mkdtemp(prefix="graft_adj_", dir="/tmp")
+    try:
+        timed(
+            "kg_materialize_write",
+            lambda: materialize_quads(
+                kg.dedup_quads(kg.build_quads(SF_DIR)), out, epoch="bench"
+            ).quad_count,
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
     return {
         "metric": "kg_construction_end_to_end",
