@@ -1,0 +1,114 @@
+"""CLI — the operational surface of the reference's three entrypoints.
+
+    python -m virtuoso_quad_log_ray dump    --sf DIR --out SINK [--epoch E]
+    python -m virtuoso_quad_log_ray sync    --sf DIR --out SINK --checkpoint TS14
+    python -m virtuoso_quad_log_ray publish --src SINK --pub DIR [--max-files N]
+    python -m virtuoso_quad_log_ray materialize --sf DIR --out DIR [--buckets N]
+    python -m virtuoso_quad_log_ray validate --sf DIR [--out SINK]
+
+Each invocation is one bounded run (the reference's poll loop,
+quad-logger/entrypoint.sh:14-17, calls the run body once per interval; an
+external scheduler calls this CLI the same way — the `ray job submit` unit).
+The CLI owns the Ray session (guarded init; the library never inits)."""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="virtuoso_quad_log_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dump", help="initial full dump into a patch-file sink")
+    d.add_argument("--sf", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--epoch", default=None)
+
+    s = sub.add_parser("sync", help="incremental +/- changelog run")
+    s.add_argument("--sf", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--checkpoint", required=True, help="ts14, must exceed the cursor")
+
+    b = sub.add_parser("publish", help="bundle committed patch files into zips + metadata")
+    b.add_argument("--src", required=True)
+    b.add_argument("--pub", required=True)
+    b.add_argument("--max-files", type=int, default=50_000)
+    b.add_argument("--bundler", default=None, help="module:Class override")
+
+    m = sub.add_parser("materialize", help="canonical quads -> sorted Parquet partitions")
+    m.add_argument("--sf", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--buckets", type=int, default=64)
+    m.add_argument("--epoch", default=None)
+
+    v = sub.add_parser("validate", help="startup checks only")
+    v.add_argument("--sf", required=True)
+    v.add_argument("--out", default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "validate":
+        from virtuoso_quad_log_ray.state.validate import validate_input, validate_sink
+
+        validate_input(args.sf)
+        if args.out:
+            validate_sink(args.out)
+        print("ok")
+        return 0
+
+    if args.cmd == "publish":
+        from virtuoso_quad_log_ray.pipelines.publish import resolve_bundler
+
+        cls = resolve_bundler(args.bundler)
+        bundler = cls(args.src, args.pub, max_files=args.max_files)
+        state = bundler.publish()
+        written = bundler.publish_metadata()
+        print(f"sealed={state.def_count} provisional={state.end_count} metadata={written}")
+        return 0
+
+    _init_ray(args.num_cpus)
+    import ray
+
+    try:
+        epoch = getattr(args, "epoch", None) or datetime.datetime.now(
+            datetime.timezone.utc
+        ).strftime("%Y%m%d%H%M%S")
+        if args.cmd == "dump":
+            from virtuoso_quad_log_ray.pipelines.runs import run_dump
+
+            man = run_dump(args.sf, args.out, epoch=epoch)
+            print(f"dump: {man.quad_count} quads in {man.file_count} files @ {man.checkpoint}")
+        elif args.cmd == "sync":
+            from virtuoso_quad_log_ray.pipelines.runs import run_sync
+
+            man = run_sync(args.sf, args.out, checkpoint=args.checkpoint)
+            print(f"sync: {man.quad_count} records in {man.file_count} files @ {man.checkpoint}")
+        elif args.cmd == "materialize":
+            from virtuoso_quad_log_ray.pipelines.kg import build_quads, dedup_quads
+            from virtuoso_quad_log_ray.pipelines.materialize import materialize_quads
+
+            man = materialize_quads(
+                dedup_quads(build_quads(args.sf)), args.out, epoch=epoch, n_buckets=args.buckets
+            )
+            print(f"materialize: {man.quad_count} quads in {man.file_count} partitions")
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
