@@ -1,0 +1,36 @@
+"""CLI lifecycle: dump -> sync -> publish -> validate via __main__.main().
+
+main() reuses the session fixture's Ray (guarded init, ownership-aware
+shutdown), so the in-process calls exercise the exact CLI code paths.
+"""
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from virtuoso_quad_log_ray.__main__ import main
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_lifecycle(tmp_path, capsys):
+    sink = str(tmp_path / "sink")
+    pub = str(tmp_path / "pub")
+
+    assert main(["dump", "--sf", SF_SMALL, "--out", sink, "--epoch", "20240101000000"]) == 0
+    out = capsys.readouterr().out
+    assert "dump:" in out and "files @ 00000000000000" in out
+
+    assert main(["sync", "--sf", SF_SMALL, "--out", sink, "--checkpoint", "20250101000000"]) == 0
+    assert "sync:" in capsys.readouterr().out
+
+    assert main(["publish", "--src", sink, "--pub", pub, "--max-files", "100"]) == 0
+    assert "sealed=" in capsys.readouterr().out
+    assert os.path.exists(os.path.join(pub, "resource-dump.xml"))
+
+    assert main(["validate", "--sf", SF_SMALL, "--out", sink]) == 0
+    assert capsys.readouterr().out.strip() == "ok"
+
+    import ray
+
+    assert ray.is_initialized()  # CLI must not tear down a session it didn't start

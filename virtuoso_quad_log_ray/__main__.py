@@ -18,14 +18,18 @@ import datetime
 import sys
 
 
-def _init_ray(num_cpus: int | None) -> None:
+def _init_ray(num_cpus: int | None) -> bool:
+    """Guarded init; returns True iff THIS call started Ray (an embedding
+    process — tests, a notebook — keeps ownership of its own session)."""
     import ray
 
-    if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
+    if ray.is_initialized():
+        return False
+    kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    ray.init(**kwargs)
+    return True
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -80,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"sealed={state.def_count} provisional={state.end_count} metadata={written}")
         return 0
 
-    _init_ray(args.num_cpus)
+    owns_session = _init_ray(args.num_cpus)
     import ray
 
     try:
@@ -106,7 +110,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"materialize: {man.quad_count} quads in {man.file_count} partitions")
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
     return 0
 
 
