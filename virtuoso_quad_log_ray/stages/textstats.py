@@ -287,30 +287,58 @@ def _trigram_counts(texts: list[str]) -> dict[str, int]:
 
 class LangScorer:
     """Actor-pool stage scoring pages against broadcast per-language trigram
-    profiles (model broadcast once via ray.put, loaded per actor)."""
+    profiles (model broadcast once via ray.put, loaded per actor).
+
+    Scoring is vectorized: one (vocab x langs) log-prob matrix built in
+    __init__, per batch a single gather of every trigram's row + one
+    add.reduceat per document + argmax — no per-(doc, lang) Python loop.
+    """
 
     def __init__(self, profiles_ref):
         profiles: dict[str, dict[str, int]] = ray.get(profiles_ref)
         self._langs = sorted(profiles)
-        # log-probability tables with add-one smoothing
-        self._tables = []
+        vocab: dict[str, int] = {}
         for lang in self._langs:
-            c = profiles[lang]
-            total = sum(c.values())
-            self._tables.append({k: np.log((v + 1) / (total + 1)) for k, v in c.items()})
-        self._floor = [np.log(1 / (sum(profiles[l].values()) + 1)) for l in self._langs]
+            for tri in profiles[lang]:
+                vocab.setdefault(tri, len(vocab))
+        self._vocab = vocab
+        n_l = len(self._langs)
+        totals = [sum(profiles[l].values()) + 1 for l in self._langs]
+        self._floor = np.array([np.log(1 / t) for t in totals])
+        # matrix row per trigram (+1 smoothing; unseen = per-lang floor)
+        m = np.tile(self._floor, (len(vocab), 1))
+        for li, lang in enumerate(self._langs):
+            t = totals[li]
+            for tri, v in profiles[lang].items():
+                m[vocab[tri], li] = np.log((v + 1) / t)
+        # extra floor row for out-of-vocab trigrams (index len(vocab))
+        self._m = np.vstack([m, self._floor[None, :]])
+        self._oov = len(vocab)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
+        vocab, oov = self._vocab, self._oov
+        ids: list[int] = []
+        starts: list[int] = [0]
         for text in batch["text"].to_pylist():
-            tris = [text[i : i + 3] for i in range(0, min(len(text), 300) - 2)]
-            best_lang, best = None, -np.inf
-            for li, lang in enumerate(self._langs):
-                tab, floor = self._tables[li], self._floor[li]
-                score = sum(tab.get(t, floor) for t in tris)
-                if score > best:
-                    best, best_lang = score, lang
-            preds.append(best_lang or "und")
+            head = text[:300]
+            ids.extend(vocab.get(head[i : i + 3], oov) for i in range(max(0, len(head) - 2)))
+            starts.append(len(ids))
+        n_docs = len(batch)
+        if not ids:
+            preds = ["und"] * n_docs
+        else:
+            rows = self._m[np.asarray(ids, dtype=np.int64)]  # (n_tris, L)
+            # zero sentinel row: a bound equal to len(rows) (trailing empty
+            # doc) stays a valid reduceat index and adds nothing to the
+            # preceding segment; empty docs are masked to "und" below
+            rows = np.vstack([rows, np.zeros((1, rows.shape[1]))])
+            bounds = np.asarray(starts[:-1], dtype=np.int64)
+            nonempty = np.diff(np.asarray(starts)) > 0
+            scores = np.add.reduceat(rows, bounds, axis=0)
+            best = np.argmax(scores, axis=1)
+            preds = [
+                self._langs[best[i]] if nonempty[i] else "und" for i in range(n_docs)
+            ]
         return pa.table({"url": batch["url"], "lang_pred": pa.array(preds, type=pa.string())})
 
 
