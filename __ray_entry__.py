@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow_fp": lambda sf: tx.winnow_fingerprints(sf),
         "text_corpus_filter": lambda sf: tx.corpus_filter(sf),
         "text_stats_by_lang": lambda sf: tx.corpus_stats_by_lang(sf),
+        "text_shard_plan": lambda sf: tx.shard_plan(sf),
         # --- multimodal binary-column stages (decode stubbed, plumbing real) ---
         "mm_media_metadata": lambda sf: mm.media_metadata(sf),
         "mm_byte_histogram": lambda sf: mm.byte_histogram(sf),
@@ -63,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "ann_topk": lambda sf: sim.ann_topk(sf),
         "ann_topk_ivf": lambda sf: sim.ann_topk_ivf(sf),
+        "emb_clusters": lambda sf: sim.embedding_clusters(sf),
         "emb_neardup_lsh": lambda sf: sim.embedding_neardup_pairs(sf),
         # --- relational coverage (filters/aggregates/joins/sort/windows) ---
         "rel_pricing_summary": lambda sf: rel.pricing_summary(sf),
@@ -109,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": tx.TOKEN_COUNTS_SQL,
         "text_corpus_filter": tx.CORPUS_FILTER_SQL,
         "text_stats_by_lang": tx.CORPUS_STATS_BY_LANG_SQL,
+        "text_shard_plan": tx.shard_plan_sql(),
         "mm_media_metadata": mm.MEDIA_METADATA_SQL,
         "ann_topk": sim.ann_topk_sql(),
         "rel_pricing_summary": rel.PRICING_SUMMARY_SQL,

@@ -56,6 +56,11 @@ class TestTextStats:
     def test_fingerprints(self, oracle):
         assert_matches_oracle(tx.fingerprints(SF_SMALL), oracle, tx.FINGERPRINTS_SQL, ["url"])
 
+    def test_shard_plan_vs_oracle(self, oracle):
+        assert_matches_oracle(
+            tx.shard_plan(SF_SMALL), oracle, tx.shard_plan_sql(), ["url"]
+        )
+
     def test_corpus_filter_vs_oracle(self, oracle):
         assert_matches_oracle(
             tx.corpus_filter(SF_SMALL), oracle, tx.CORPUS_FILTER_SQL, ["url"]
@@ -96,6 +101,15 @@ class TestSimilarity:
         assert_matches_oracle(
             sim.ann_topk(SF_SMALL), oracle, sim.ann_topk_sql(), ["query_id", "rank"]
         )
+
+    def test_emb_clusters_deterministic_and_covering(self):
+        a = to_arrow(sim.embedding_clusters(SF_SMALL))
+        b = to_arrow(sim.embedding_clusters(SF_SMALL))
+        da = dict(zip(a["vec_id"].to_pylist(), a["cluster"].to_pylist()))
+        db = dict(zip(b["vec_id"].to_pylist(), b["cluster"].to_pylist()))
+        assert da == db
+        assert all(0 <= c < 16 for c in da.values())
+        assert len(set(da.values())) >= 4  # vectors spread over clusters
 
     def test_ann_topk_ivf_recall(self):
         """IVF with generous probes must recover most exact neighbors

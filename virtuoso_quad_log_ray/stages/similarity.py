@@ -249,6 +249,38 @@ def ann_topk_ivf(
     return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
+def embedding_clusters(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n_clusters: int = 16,
+) -> ray.data.Dataset:
+    """(vec_id, cluster) assignments from the distributed mini k-means —
+    the embedding-space bucketing a curriculum/dedup pipeline keys on.
+    Deterministic (seedless init = first n vectors, fixed Lloyd rounds);
+    rows-only check, determinism + partition coverage asserted in tests."""
+    import pyarrow.parquet as pq
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    dim = len(pq.read_table(emb_path, columns=["embedding"]).column(0)[0])
+    vecs = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    centroids = _train_centroids(vecs, n_clusters, dim)
+    c_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        a = np.argmin(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "cluster": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return vecs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed near-duplicate pairs (scale path)
 # ---------------------------------------------------------------------------

@@ -217,6 +217,36 @@ CORPUS_STATS_BY_LANG_SQL = (
 )
 
 
+def shard_plan(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, *, n_shards: int = 16
+) -> ray.data.Dataset:
+    """Deterministic output sharding: shard = md5(url) prefix mod n — the
+    content-addressed assignment a training pipeline uses to split a corpus
+    into stable, resumable shards (same layout idea as the adjacency
+    buckets, pipelines/materialize.py). Exactly reproducible in SQL."""
+    pages = read_pages(sf_dir, include_html=False)
+
+    def assign(b: pa.Table) -> pa.Table:
+        shards = [
+            int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % n_shards
+            for u in b["url"].to_pylist()
+        ]
+        return pa.table(
+            {"url": b["url"], "shard": pa.array(shards, type=pa.int64())}
+        )
+
+    return pages.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shard_plan_sql(n_shards: int = 16) -> str:
+    return (
+        "WITH " + PAGES_SQL_CTE + "\n"
+        "SELECT url,\n"
+        f"       CAST(CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % {n_shards} AS BIGINT) AS shard\n"
+        "FROM pages"
+    )
+
+
 WINNOW_K = 8  # k-gram length (chars)
 WINNOW_W = 16  # winnowing window
 
