@@ -60,7 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal binary-column stages (decode stubbed, plumbing real) ---
         "mm_media_metadata": lambda sf: mm.media_metadata(sf),
         "mm_byte_histogram": lambda sf: mm.byte_histogram(sf),
-        "mm_frame_sample": lambda sf: mm.frame_sample(sf),
+        # oracle-comparable projection (drops the binary frame payload, which
+        # SQL can't reproduce); the full frame layout is pytest-covered
+        "mm_frame_sample": lambda sf: mm.frame_sample_meta(sf),
         # --- similarity search over embeddings ---
         "ann_topk": lambda sf: sim.ann_topk(sf),
         "ann_topk_ivf": lambda sf: sim.ann_topk_ivf(sf),
@@ -103,9 +105,10 @@ def oracle_sql() -> dict[str, str]:
             cfg.jaccard_threshold, cfg.shingle_size
         ),
         # dedup_minhash_lsh / dedup_simhash / text_lang_id / emb_neardup_lsh /
-        # mm_byte_histogram / mm_frame_sample: probabilistic, binary-payload,
-        # or non-SQL-expressible -> rows-only check
+        # mm_byte_histogram: probabilistic, binary-payload, or
+        # non-SQL-expressible -> rows-only check
         "dedup_clusters": cz.canonicalize_sql(cfg.jaccard_threshold, cfg.shingle_size),
+        "mm_frame_sample": mm.FRAME_SAMPLE_SQL,
         "text_quality": tx.TEXT_QUALITY_SQL,
         "text_fingerprints": tx.FINGERPRINTS_SQL,
         "text_token_counts": tx.TOKEN_COUNTS_SQL,

@@ -1,0 +1,60 @@
+"""Shared numeric helpers for oracle-exact integer emission.
+
+DuckDB's round() rounds half AWAY from zero; numpy's np.round is banker's
+(half-to-even). Every cents/ppm column the driver value-hashes must use the
+same rule on both sides, so all scaled-integer emission goes through
+half_away_int64 (ADVICE round 1, relational.py:87 finding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def half_away_int64(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero (DuckDB round() semantics) -> int64."""
+    x = np.asarray(x, dtype=np.float64)
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def scaled_int_array(arr, scale: float) -> pa.Array:
+    """Arrow column * scale -> int64 Arrow array with half-away rounding."""
+    vals = pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
+    return pa.array(half_away_int64(vals * scale))
+
+
+def fsb_from_matrix(mat: np.ndarray) -> pa.Array:
+    """(n, k) numpy matrix -> fixed_size_binary(k*itemsize) Arrow array.
+
+    Zero-loop row packing. fixed_size_binary survives Ray's hash join as a
+    payload column (Arrow list types do not, as of Ray 2.49), so fixed-width
+    vector/signature columns ride joins in this form.
+    """
+    mat = np.ascontiguousarray(mat)
+    return pa.Array.from_buffers(
+        pa.binary(mat.shape[1] * mat.itemsize),
+        mat.shape[0],
+        [None, pa.py_buffer(mat.tobytes())],
+    )
+
+
+def matrix_from_fsb(col, n_cols: int, dtype) -> np.ndarray:
+    """fixed_size_binary column -> (n, n_cols) matrix, offset-aware, no copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    raw = np.frombuffer(col.buffers()[1], dtype=dtype)
+    start = col.offset * n_cols
+    return raw[start : start + len(col) * n_cols].reshape(-1, n_cols)
+
+
+def list_matrix(col, dim: int | None = None, dtype=np.float64) -> np.ndarray:
+    """Fixed-length list<number> column -> (n, dim) matrix via flatten+reshape
+    (no to_pylist round-trip). dim=None infers it from the first row."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if dim is None:
+        dim = len(flat) // len(col) if len(col) else 0
+    return np.ascontiguousarray(flat.reshape(-1, dim).astype(dtype, copy=False))

@@ -8,7 +8,7 @@ prior checkpoint and the quad set now,
     added   = new  LEFT-ANTI prev   -> op '+'
     deleted = prev LEFT-ANTI new    -> op '-'
 
-both hash-partitioned on the packed quad key (s,p,o,g) — Ray Data's native
+both hash-partitioned on the multi-column quad key (s,p,o,g) — Ray Data's native
 ``Dataset.join(join_type='left_anti')`` hash-shuffle join. Ordering within a
 partition is (warc-ts-free) deterministic: ('-' before '+', then s, p, o, g),
 mirroring retract-then-assert RDF-patch application semantics
@@ -31,7 +31,7 @@ import ray
 import ray.data
 
 from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
-from virtuoso_quad_log_ray.pipelines.kg import QUADS_SQL_CTE, quad_key
+from virtuoso_quad_log_ray.pipelines.kg import QUADS_SQL_CTE
 from virtuoso_quad_log_ray.stages.shuffle import join_kwargs
 from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE, pa_mod
 from virtuoso_quad_log_ray.stages.extract_triples import extract_triples
@@ -86,10 +86,10 @@ def diff_quads(
 ) -> ray.data.Dataset:
     """(prev, new) quad sets -> changelog (op, s, p, o, g).
 
-    ONE full_outer hash-shuffle join on the packed quad key with presence
-    markers on each side — both anti-join directions fall out of a single
-    shuffle (rows missing on the right are '+', missing on the left are '-').
-    Key packing keeps the join single-column. The partition count is sized to
+    ONE full_outer hash-shuffle join on the (s,p,o,g) multi-column key with
+    presence markers on each side — both anti-join directions fall out of a
+    single shuffle (rows missing on the right are '+', missing on the left
+    are '-'). The partition count is sized to
     the live cluster: each join partition is a 1-CPU aggregator actor, so
     asking for more partitions than cores deadlocks a small cluster and
     oversubscribes a big one.
@@ -97,16 +97,26 @@ def diff_quads(
 
     def keyed(marker: str):
         def fn(b: pa.Table) -> pa.Table:
-            t = quad_key(b)
+            # multi-column join key (s,p,o,g) — never a packed separator key:
+            # U+001F survives the escape chain, so packing would corrupt
+            # literals containing it (ADVICE r1, kg.py quad_key finding)
             return pa.table(
-                {"qk": t["qk"], marker: pa.array(np.ones(len(b), dtype=np.int8))}
+                {
+                    "s": b["s"],
+                    "p": b["p"],
+                    "o": b["o"],
+                    "g": b["g"],
+                    marker: pa.array(np.ones(len(b), dtype=np.int8)),
+                }
             )
 
         return fn
 
     new_k = new.map_batches(keyed("in_new"), batch_format="pyarrow", zero_copy_batch=True)
     prev_k = prev.map_batches(keyed("in_prev"), batch_format="pyarrow", zero_copy_batch=True)
-    joined = new_k.join(prev_k, join_type="full_outer", on=("qk",), **join_kwargs(cfg))
+    joined = new_k.join(
+        prev_k, join_type="full_outer", on=("s", "p", "o", "g"), **join_kwargs(cfg)
+    )
 
     def to_changelog(batch: pa.Table) -> pa.Table:
         added = pc.is_null(batch["in_prev"])
@@ -117,11 +127,15 @@ def diff_quads(
             pa.scalar("+", type=pa.string()),
             pa.scalar("-", type=pa.string()),
         )
-        parts = pc.split_pattern(changed["qk"], "\x1f")
-        cols: dict[str, pa.Array] = {"op": op}
-        for i, c in enumerate(("s", "p", "o", "g")):
-            cols[c] = pc.list_element(parts, i) if len(changed) else pa.array([], type=pa.string())
-        return pa.table(cols)
+        return pa.table(
+            {
+                "op": op,
+                "s": changed["s"],
+                "p": changed["p"],
+                "o": changed["o"],
+                "g": changed["g"],
+            }
+        )
 
     return joined.map_batches(to_changelog, batch_format="pyarrow", zero_copy_batch=True)
 

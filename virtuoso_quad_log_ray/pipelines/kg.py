@@ -109,33 +109,22 @@ def build_quads(
 QUADS_SQL = sql_with_pages("SELECT s, p, o, g FROM quads", QUADS_SQL_CTE)
 
 
-def quad_key(batch: pa.Table, cols=("s", "p", "o", "g")) -> pa.Table:
-    """Append a single concatenated shuffle key 'qk' for the quad identity
-    (s,p,o,g). 0x1f unit separator cannot occur in rendered terms."""
-    key = pc.binary_join_element_wise(*[batch[c] for c in cols], "\x1f")
-    return batch.append_column("qk", key)
-
-
 def dedup_quads(quads: ray.data.Dataset, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """D1 exact dedup on quad identity.
 
     The reference deduplicates multi-index trx echoes with a table-id filter
     (parse_trx_logs.sql:102-109); generically this is distinct-by-key. The
-    quad identity (s,p,o,g) is reversibly packed into one key column, counted
-    with ``groupby().count()`` — which pre-aggregates per block BEFORE the
-    hash shuffle, so only distinct keys move — and unpacked vectorized.
-    Never map_groups over millions of single-row groups.
+    quad identity is the MULTI-COLUMN group key (s,p,o,g) — no packed
+    separator key: the escape chain (faithful to the reference's
+    vql_escape_chars) passes U+001F through, so any single-char-separator
+    packing would silently corrupt literals containing it (ADVICE r1).
+    ``groupby().count()`` pre-aggregates per block BEFORE the hash shuffle,
+    so only distinct quads move. Never map_groups over millions of
+    single-row groups.
     """
-    with_key = quads.map_batches(
-        lambda b: quad_key(b).select(["qk"]), batch_format="pyarrow", zero_copy_batch=True
+    return (
+        quads.groupby(["s", "p", "o", "g"]).count().select_columns(["s", "p", "o", "g"])
     )
-    distinct = with_key.groupby("qk").count()
-
-    def unpack(batch: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(batch["qk"], "\x1f")
-        return pa.table({c: pc.list_element(parts, i) for i, c in enumerate(("s", "p", "o", "g"))})
-
-    return distinct.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
 
 
 DEDUP_QUADS_SQL = sql_with_pages("SELECT DISTINCT s, p, o, g FROM quads", QUADS_SQL_CTE)

@@ -19,6 +19,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
 from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.numerics import half_away_int64, scaled_int_array
 
 
 def _join_parts(cfg: EngineConfig = DEFAULT_CONFIG) -> int:
@@ -75,7 +76,7 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
                 "l_linestatus": batch["l_linestatus"],
                 "sum_qty_c": pc.cast(batch["sum(qty_c)"], pa.int64()),
                 "sum_price_c": pc.cast(batch["sum(price_c)"], pa.int64()),
-                "avg_disc_ppm": pa.array(np.round(sum_disc / n_np).astype(np.int64)),
+                "avg_disc_ppm": pa.array(half_away_int64(sum_disc / n_np)),
                 "n_rows": n,
             }
         )
@@ -84,17 +85,17 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
 
 def _cents(arr) -> pa.Array:
-    return pa.array(np.round(pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False) * 100).astype(np.int64))
+    return scaled_int_array(arr, 100)
 
 
 def _ppm(arr) -> pa.Array:
-    return pa.array(np.round(pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False) * 1e6).astype(np.int64))
+    return scaled_int_array(arr, 1e6)
 
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(100 * l_quantity) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(round(100 * l_extendedprice) AS BIGINT)) AS sum_price_c,
+       CAST(sum(CAST(round(100 * l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(100 * l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_c,
        CAST(round(sum(CAST(round(1e6 * l_discount) AS BIGINT)) / count(*)) AS BIGINT) AS avg_disc_ppm,
        count(*) AS n_rows
 FROM lineitem
@@ -152,7 +153,7 @@ def revenue_by_nation(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.da
 
 REVENUE_BY_NATION_SQL = """
 SELECT n.n_name,
-       sum(CAST(round(100 * o.o_totalprice) AS BIGINT)) AS revenue_c,
+       CAST(sum(CAST(round(100 * o.o_totalprice) AS BIGINT)) AS BIGINT) AS revenue_c,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -226,7 +227,7 @@ EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        count(*) AS n_events,
-       sum(CAST(round(100 * value) AS BIGINT)) AS sum_value_c
+       CAST(sum(CAST(round(100 * value) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events
 GROUP BY 1, 2
 """.strip()

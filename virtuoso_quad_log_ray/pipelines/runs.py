@@ -61,6 +61,14 @@ def run_dump(
     validate_sink(out_root)
     existing = load_manifest(out_root)
     if existing is not None and existing.kind == "dump":
+        # Crash-window repair: the manifest commits BEFORE cursor/epoch are
+        # written below, so a crash between leaves a committed dump with no
+        # cursor — run_sync would then fail forever ("no dump committed
+        # yet"). Backfill the missing state instead of returning blind.
+        if ckpt.read_epoch(out_root) is None:
+            ckpt.write_epoch(out_root, existing.epoch)
+        if ckpt.read_cursor(out_root) is None:
+            ckpt.write_cursor(out_root, TS14_ZERO)
         return existing
     probe = snapshot_probe(sf_dir)
     quads = _with_op(quads_version(sf_dir, version, cfg), "+")
@@ -78,8 +86,9 @@ def run_dump(
     # fencing free, but assert the input really was unchanged during the run
     probe.assert_unchanged(snapshot_probe(sf_dir))
     ckpt.write_epoch(out_root, epoch)
-    # cursor written AFTER the manifest commit: crash before this line means
-    # the next run redoes the dump against the committed (empty) state.
+    # cursor written AFTER the manifest commit: crash before this line is
+    # repaired by the idempotent early-return above, which backfills the
+    # missing cursor/epoch from the committed manifest.
     ckpt.write_cursor(out_root, TS14_ZERO)
     return manifest
 

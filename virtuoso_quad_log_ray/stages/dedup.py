@@ -33,10 +33,38 @@ import ray
 import ray.data
 
 from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.numerics import fsb_from_matrix, half_away_int64, matrix_from_fsb
 from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE, read_pages
 from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs, join_kwargs, self_join_input
 
 _SEP = "\x1f"
+
+try:  # vectorized 64-bit string hashing; md5 fallback keeps the path portable
+    import polars as _pl
+except ImportError:  # pragma: no cover
+    _pl = None
+
+
+def _hash128(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content hash of a string array -> two int64 numpy columns.
+
+    Used for internal group keys only (never oracle-compared), so the hash
+    function just needs determinism within a run + 128-bit collision odds:
+    two independently-seeded vectorized polars hashes, or an md5 loop over
+    the (already dictionary-encoded, unique) values as fallback.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if _pl is not None:
+        s = _pl.from_arrow(arr)
+        h1 = s.hash(seed=0x9E3779B9).to_numpy().view(np.int64)
+        h2 = s.hash(seed=0x85EBCA6B).to_numpy().view(np.int64)
+        return h1, h2
+    buf = b"".join(
+        hashlib.md5(v.encode()).digest() for v in arr.to_pylist()
+    )  # pragma: no cover
+    h = np.frombuffer(buf, dtype=np.uint64).reshape(-1, 2)  # pragma: no cover
+    return h[:, 0].view(np.int64), h[:, 1].view(np.int64)  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
@@ -46,22 +74,24 @@ _SEP = "\x1f"
 def dedup_pages_exact(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """Exact dedup: one group per distinct text; keeper = min(url).
 
-    The group key is the md5 digest of the text, so the shuffle ships a
-    16-byte key + url instead of whole documents; group payloads are tiny
-    regardless of document size.
+    The group key is a 128-bit content hash of the text shipped as two int64
+    columns (16 fixed bytes + url through the shuffle instead of whole
+    documents). The hash is vectorized (_hash128) — no per-row Python md5
+    loop; the key is internal (the oracle groups by text itself), so any
+    run-deterministic 128-bit hash is sound.
     """
     pages = read_pages(sf_dir, include_html=False)
 
     def digest(batch: pa.Table) -> pa.Table:
-        keys = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
-        return pa.table({"k": pa.array(keys, type=pa.string()), "url": batch["url"]})
+        k1, k2 = _hash128(batch["text"])
+        return pa.table({"k1": pa.array(k1), "k2": pa.array(k2), "url": batch["url"]})
 
     keyed = pages.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
     # Min/Count pre-aggregate per block before the shuffle (no per-group
     # Python loop — map_groups over millions of groups would serialize).
     from ray.data.aggregate import Count, Min
 
-    agg = keyed.groupby("k").aggregate(Min("url"), Count())
+    agg = keyed.groupby(["k1", "k2"]).aggregate(Min("url"), Count())
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -196,6 +226,18 @@ def ngram_jaccard_pairs(
         right_suffix="_r",
     )
 
+    _PAIR_EMPTY = pa.table(
+        {
+            "h1": pa.array([], type=pa.int64()),
+            "h2": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "url_a": pa.array([], type=pa.string()),
+            "url_b": pa.array([], type=pa.string()),
+            "size_a": pa.array([], type=pa.int64()),
+            "size_b": pa.array([], type=pa.int64()),
+        }
+    )
+
     def pair_key(batch: pa.Table) -> pa.Table:
         # size-ratio prune (EXACT, no false negatives): J(A,B) <= min/max of
         # the set sizes, so ratio < tau can never reach the threshold. This
@@ -207,31 +249,45 @@ def ngram_jaccard_pairs(
         )
         keep = pc.and_(pc.less(batch["url_l"], batch["url_r"]), ratio_ok)
         b = batch.filter(keep)
-        payload = pc.binary_join_element_wise(
-            b["url_l"],
-            b["url_r"],
-            pc.cast(b["size_l"], pa.string()),
-            pc.cast(b["size_r"], pa.string()),
-            _SEP,
-        )
-        # group key = 16-byte hash of the payload: the groupby's sort cost
-        # scales with key bytes, and the full pair string is ~100 chars.
-        # The payload is functionally dependent on the key (collision odds
-        # ~2^-128), so it rides along as a Min aggregate.
+        if len(b) == 0:
+            return _PAIR_EMPTY
+        # In-batch combiner: the join emits one row per SHARED SHINGLE, so
+        # every pair repeats heavily inside a batch. dictionary_encode
+        # collapses repeats; the partial intersection count is a bincount
+        # over dictionary indices — no Python loop, no per-row hashing.
+        payload = pc.binary_join_element_wise(b["url_l"], b["url_r"], _SEP)
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
-        keys = [
-            hashlib.blake2b(v.encode(), digest_size=16).hexdigest()
-            for v in payload.to_pylist()
-        ]
+        d = payload.dictionary_encode()
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_u = len(d.dictionary)
+        n_part = np.bincount(idx, minlength=n_u)
+        first = np.unique(idx, return_index=True)[1]  # indices are 0..n_u-1
+        # Group key = 128-bit hash of the unique pair string, shipped as two
+        # int64 columns (16 fixed bytes/row through the shuffle instead of a
+        # 32-char hex string); urls/sizes are functionally dependent on the
+        # key and ride as Min aggregates — one partial per (block, pair),
+        # not one per join row.
+        h1, h2 = _hash128(d.dictionary)
+        sel = pa.array(first)
         return pa.table(
-            {"pair_h": pa.array(keys, type=pa.string()), "payload": payload}
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "n": pa.array(n_part),
+                "url_a": pc.take(b["url_l"], sel),
+                "url_b": pc.take(b["url_r"], sel),
+                "size_a": pc.cast(pc.take(b["size_l"], sel), pa.int64()),
+                "size_b": pc.cast(pc.take(b["size_r"], sel), pa.int64()),
+            }
         )
 
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min, Sum
 
     pairs = joined.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
-    counted = pairs.groupby("pair_h").aggregate(Count(), Min("payload"))
+    counted = pairs.groupby(["h1", "h2"]).aggregate(
+        Sum("n"), Min("url_a"), Min("url_b"), Min("size_a"), Min("size_b")
+    )
 
     def finalize(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -242,19 +298,17 @@ def ngram_jaccard_pairs(
                     "jaccard_ppm": pa.array([], type=pa.int64()),
                 }
             )
-        parts = pc.split_pattern(batch["min(payload)"], _SEP)
-        url_a = pc.list_element(parts, 0)
-        url_b = pc.list_element(parts, 1)
-        size_a = pc.cast(pc.list_element(parts, 2), pa.int64()).to_numpy()
-        size_b = pc.cast(pc.list_element(parts, 3), pa.int64()).to_numpy()
-        inter = batch["count()"].to_numpy()
+        inter = pc.cast(batch["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
+        size_a = batch["min(size_a)"].to_numpy(zero_copy_only=False)
+        size_b = batch["min(size_b)"].to_numpy(zero_copy_only=False)
         j = inter / (size_a + size_b - inter)
         keep = j >= tau
+        mask = pa.array(keep)
         return pa.table(
             {
-                "url_a": pc.filter(url_a, pa.array(keep)),
-                "url_b": pc.filter(url_b, pa.array(keep)),
-                "jaccard_ppm": pa.array(np.round(j[keep] * 1e6).astype(np.int64)),
+                "url_a": pc.filter(batch["min(url_a)"], mask),
+                "url_b": pc.filter(batch["min(url_b)"], mask),
+                "jaccard_ppm": pa.array(half_away_int64(j[keep] * 1e6)),
             }
         )
 
@@ -364,12 +418,81 @@ class MinHashSignatures:
             prod = (base[:, None] * self._a[None, :] + self._b[None, :]) % _MERSENNE
             present, starts = np.unique(doc_idx, return_index=True)
             sig_mat[present] = np.minimum.reduceat(prod, starts, axis=0)
+            counts = np.diff(np.append(starts, len(doc_idx)))
+            n_sh = np.zeros(n_docs, dtype=np.int64)
+            n_sh[present] = counts
+        else:
+            n_sh = np.zeros(n_docs, dtype=np.int64)
         return pa.table(
             {
                 "url": batch["url"],
-                "sig": pa.array(sig_mat.tolist(), type=pa.list_(pa.uint64())),
+                # fixed_size_binary (num_perm uint64s): zero-copy to/from the
+                # numpy matrix AND supported as a hash-join payload column
+                # (Arrow list types are not, as of Ray 2.49)
+                "sig": _fsb_from_matrix(sig_mat),
+                "n_sh": pa.array(n_sh),
             }
         )
+
+
+def _fsb_from_matrix(mat: np.ndarray) -> pa.Array:
+    """(n_docs, num_perm) uint64 matrix -> fixed_size_binary array, zero-loop."""
+    return fsb_from_matrix(np.ascontiguousarray(mat, dtype=np.uint64))
+
+
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """fixed_size_binary signature column -> (n_docs, num_perm) uint64 matrix."""
+    return matrix_from_fsb(col, num_perm, np.uint64)
+
+
+def _dedup_candidate_pairs(joined: ray.data.Dataset) -> ray.data.Dataset:
+    """(url_l, url_r) join output -> globally distinct (url_a, url_b) pairs.
+
+    Same combiner shape as the n-gram pair phase: order the pair, collapse
+    in-batch repeats via dictionary_encode, groupby on a 128-bit numeric key
+    (16 fixed bytes/row through the shuffle) with the urls riding as Min
+    aggregates — one partial per (block, pair).
+    """
+    empty = pa.table(
+        {
+            "h1": pa.array([], type=pa.int64()),
+            "h2": pa.array([], type=pa.int64()),
+            "url_a": pa.array([], type=pa.string()),
+            "url_b": pa.array([], type=pa.string()),
+        }
+    )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less(batch["url_l"], batch["url_r"]))
+        if len(b) == 0:
+            return empty
+        payload = pc.binary_join_element_wise(b["url_l"], b["url_r"], _SEP)
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        d = payload.dictionary_encode()
+        first = np.unique(
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64), return_index=True
+        )[1]
+        h1, h2 = _hash128(d.dictionary)
+        sel = pa.array(first)
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "url_a": pc.take(b["url_l"], sel),
+                "url_b": pc.take(b["url_r"], sel),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs = joined.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = pairs.groupby(["h1", "h2"]).aggregate(Min("url_a"), Min("url_b"))
+    return distinct.map_batches(
+        lambda b: pa.table({"url_a": b["min(url_a)"], "url_b": b["min(url_b)"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def minhash_lsh_pairs(
@@ -380,10 +503,16 @@ def minhash_lsh_pairs(
 ) -> ray.data.Dataset:
     """MinHash-LSH near-dup candidate pairs, verified by signature agreement.
 
-    pages -> signatures (actor pool) -> per-band bucket keys -> inverted-index
-    self-join on bucket -> distinct pairs -> estimated J = matching perms /
-    num_perm >= threshold. One hash shuffle on the band bucket; the bucket key
-    is '<band_idx>:<hash of band slice>' so all bands share a single join.
+    pages -> signatures (actor pool, materialized ONCE as the compact
+    (url, sig) side table) -> per-band numeric bucket keys (band idx +
+    64-bit band hash; the band join ships 12 bytes/row, NOT the signature)
+    -> inverted-index self-join -> distinct pairs -> verify by joining the
+    pairs back to the signature table on url (twice) and comparing perms
+    vectorized; est J = matching perms / num_perm >= threshold.
+
+    Docs with zero valid shingles emit NO band rows (they'd otherwise all
+    share the all-zero signature and explode quadratically — ADVICE r1),
+    matching the exact n-gram path which yields no pairs for them.
     """
     tau = threshold if threshold is not None else cfg.jaccard_threshold
     num_perm, bands = cfg.minhash_num_perm, cfg.minhash_bands
@@ -394,68 +523,90 @@ def minhash_lsh_pairs(
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_size": cfg.shingle_size},
         **actor_kwargs(batch_size=1024),
     )
+    # The signature table feeds band-key generation AND both verify joins —
+    # pin it once (at 100 TB: checkpoint to Parquet and read three times).
+    sig_tbl = sigs.materialize()
+
+    _BAND_EMPTY = pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "band": pa.array([], type=pa.int32()),
+            "bh": pa.array([], type=pa.int64()),
+        }
+    )
+    _FNV = np.uint64(1099511628211)
 
     def band_keys(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        sig_np = np.asarray(batch["sig"].to_pylist(), dtype=np.uint64)
-        sig_strs = ["," .join(map(str, s)) for s in sig_np]
-        u, keys, carried = [], [], []
-        for i, url in enumerate(urls):
-            for b in range(bands):
-                chunk = sig_np[i, b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                u.append(url)
-                keys.append(f"{b}:{h}")
-                carried.append(sig_strs[i])
+        b = batch.filter(pc.greater(batch["n_sh"], 0))
+        nd = len(b)
+        if nd == 0:
+            return _BAND_EMPTY
+        sig = _sig_matrix(b["sig"], num_perm).reshape(nd, bands, rows_per_band)
+        # vectorized per-band bucket hash: FNV-style polynomial over the
+        # band's perm values (uint64 wraparound). A 64-bit collision only
+        # adds a candidate pair, which the verify stage then rejects.
+        bh = np.zeros((nd, bands), dtype=np.uint64)
+        for k in range(rows_per_band):
+            bh = bh * _FNV + sig[:, :, k]
         return pa.table(
             {
-                "url": pa.array(u, type=pa.string()),
-                "bucket": pa.array(keys, type=pa.string()),
-                "sig_s": pa.array(carried, type=pa.string()),
+                "url": pc.take(b["url"], pa.array(np.repeat(np.arange(nd), bands))),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), nd)),
+                "bh": pa.array(bh.reshape(-1).view(np.int64)),
             }
         )
 
     bucketed = self_join_input(
-        sigs.map_batches(band_keys, batch_format="pyarrow", zero_copy_batch=True)
+        sig_tbl.map_batches(band_keys, batch_format="pyarrow", zero_copy_batch=True)
     )
     joined = bucketed.join(
         bucketed,
         join_type="inner",
-        on=("bucket",),
+        on=("band", "bh"),
         left_suffix="_l",
         right_suffix="_r",
         **join_kwargs(cfg),
     )
+    cand = _dedup_candidate_pairs(joined)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        keep = pc.less(batch["url_l"], batch["url_r"])
-        b = batch.filter(keep)
-        key = pc.binary_join_element_wise(b["url_l"], b["url_r"], b["sig_s_l"], b["sig_s_r"], _SEP)
-        return pa.table({"pair": key})
-
-    pairs = joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-    distinct = pairs.groupby("pair").count()
+    # verify: hash-join candidates back to the compact signature table on
+    # url (no signature ever rides the band self-join, no driver broadcast)
+    side_a = sig_tbl.map_batches(
+        lambda b: pa.table({"url_a": b["url"], "sig_a": b["sig"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    side_b = sig_tbl.map_batches(
+        lambda b: pa.table({"url_b": b["url"], "sig_b": b["sig"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    with_a = cand.join(side_a, join_type="inner", on=("url_a",), **join_kwargs(cfg))
+    with_b = with_a.join(side_b, join_type="inner", on=("url_b",), **join_kwargs(cfg))
 
     def finalize(batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for packed in batch["pair"].to_pylist() if len(batch) else []:
-            url_a, url_b, sl, sr = packed.split(_SEP)
-            s1 = np.array(sl.split(","), dtype=np.uint64)
-            s2 = np.array(sr.split(","), dtype=np.uint64)
-            est = float((s1 == s2).mean())
-            if est >= tau:
-                out_a.append(url_a)
-                out_b.append(url_b)
-                out_j.append(int(round(est * 1e6)))
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "url_a": pa.array([], type=pa.string()),
+                    "url_b": pa.array([], type=pa.string()),
+                    "est_jaccard_ppm": pa.array([], type=pa.int64()),
+                }
+            )
+        sa = _sig_matrix(batch["sig_a"], num_perm)
+        sb = _sig_matrix(batch["sig_b"], num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= tau
+        mask = pa.array(keep)
         return pa.table(
             {
-                "url_a": pa.array(out_a, type=pa.string()),
-                "url_b": pa.array(out_b, type=pa.string()),
-                "est_jaccard_ppm": pa.array(out_j, type=pa.int64()),
+                "url_a": pc.filter(batch["url_a"], mask),
+                "url_b": pc.filter(batch["url_b"], mask),
+                "est_jaccard_ppm": pa.array(half_away_int64(est[keep] * 1e6)),
             }
         )
 
-    return distinct.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return with_b.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -530,22 +681,32 @@ def simhash_pairs(
         SimHashStage, **actor_kwargs(batch_size=1024)
     )
 
+    _BAND_EMPTY = pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "band": pa.array([], type=pa.int32()),
+            "bv": pa.array([], type=pa.int64()),
+            "simhash": pa.array([], type=pa.uint64()),
+        }
+    )
+
     def band_rows(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        sims = batch["simhash"].to_numpy()
-        u, keys, carried = [], [], []
-        for i, url in enumerate(urls):
-            v = int(sims[i])
-            for b in range(n_bands):
-                band_val = (v >> (b * band_bits)) & ((1 << band_bits) - 1)
-                u.append(url)
-                keys.append(f"{b}:{band_val}")
-                carried.append(v)
+        nd = len(batch)
+        if nd == 0:
+            return _BAND_EMPTY
+        sims = batch["simhash"].to_numpy().astype(np.uint64)
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(band_bits))[None, :]
+        mask = np.uint64((1 << band_bits) - 1)
+        bv = ((sims[:, None] >> shifts) & mask).astype(np.int64)  # (nd, n_bands)
+        rep = pa.array(np.repeat(np.arange(nd), n_bands))
         return pa.table(
             {
-                "url": pa.array(u, type=pa.string()),
-                "bucket": pa.array(keys, type=pa.string()),
-                "simhash": pa.array(carried, type=pa.uint64()),
+                "url": pc.take(batch["url"], rep),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), nd)),
+                "bv": pa.array(bv.reshape(-1)),
+                # a single uint64 rides the join (cheap), so verify needs no
+                # second lookup join — unlike the 512-byte MinHash signature
+                "simhash": pc.take(batch["simhash"], rep),
             }
         )
 
@@ -555,51 +716,70 @@ def simhash_pairs(
     joined = bucketed.join(
         bucketed,
         join_type="inner",
-        on=("bucket",),
+        on=("band", "bv"),
         left_suffix="_l",
         right_suffix="_r",
         **join_kwargs(cfg),
     )
 
+    _PAIR_EMPTY = pa.table(
+        {
+            "h1": pa.array([], type=pa.int64()),
+            "h2": pa.array([], type=pa.int64()),
+            "url_a": pa.array([], type=pa.string()),
+            "url_b": pa.array([], type=pa.string()),
+            "hamming": pa.array([], type=pa.int64()),
+        }
+    )
+
     def verify(batch: pa.Table) -> pa.Table:
-        keep = pc.less(batch["url_l"], batch["url_r"])
-        b = batch.filter(keep)
+        b = batch.filter(pc.less(batch["url_l"], batch["url_r"]))
         if len(b) == 0:
-            return pa.table({"pair": pa.array([], type=pa.string())})
+            return _PAIR_EMPTY
         xor = (
             b["simhash_l"].to_numpy().astype(np.uint64)
             ^ b["simhash_r"].to_numpy().astype(np.uint64)
         )
         # popcount via byte view (numpy<2 has no bitwise_count)
         ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-        ok = pa.array(ham <= max_hamming)
-        b = b.filter(ok)
-        key = pc.binary_join_element_wise(
-            b["url_l"],
-            b["url_r"],
-            pa.array([str(h) for h in ham[np.asarray(ok)]], type=pa.string()),
-            _SEP,
-        )
-        return pa.table({"pair": key})
-
-    pairs = joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-    distinct = pairs.groupby("pair").count()
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "url_a": pa.array([], type=pa.string()),
-                    "url_b": pa.array([], type=pa.string()),
-                    "hamming": pa.array([], type=pa.int64()),
-                }
-            )
-        parts = pc.split_pattern(batch["pair"], _SEP)
+        b = b.filter(pa.array(ham <= max_hamming))
+        if len(b) == 0:
+            return _PAIR_EMPTY
+        ham = ham[ham <= max_hamming]
+        # in-batch combiner + 128-bit numeric pair key (same shape as the
+        # n-gram pair phase); hamming is pair-determined, rides as Min
+        payload = pc.binary_join_element_wise(b["url_l"], b["url_r"], _SEP)
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        d = payload.dictionary_encode()
+        first = np.unique(
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64), return_index=True
+        )[1]
+        h1, h2 = _hash128(d.dictionary)
+        sel = pa.array(first)
         return pa.table(
             {
-                "url_a": pc.list_element(parts, 0),
-                "url_b": pc.list_element(parts, 1),
-                "hamming": pc.cast(pc.list_element(parts, 2), pa.int64()),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "url_a": pc.take(b["url_l"], sel),
+                "url_b": pc.take(b["url_r"], sel),
+                "hamming": pa.array(ham[first].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs = joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = pairs.groupby(["h1", "h2"]).aggregate(
+        Min("url_a"), Min("url_b"), Min("hamming")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url_a": batch["min(url_a)"],
+                "url_b": batch["min(url_b)"],
+                "hamming": pc.cast(batch["min(hamming)"], pa.int64()),
             }
         )
 

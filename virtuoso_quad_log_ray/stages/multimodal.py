@@ -34,7 +34,12 @@ import pyarrow.compute as pc
 import ray.data
 
 from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
-from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE, read_pages
+from virtuoso_quad_log_ray.sources.pages import (
+    HTML_PREFIX,
+    HTML_SUFFIX,
+    PAGES_SQL_CTE,
+    read_pages,
+)
 from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs
 
 MEDIA_BATCH_SIZE = 256  # wide binary rows: keep batch x concurrency in heap
@@ -67,20 +72,17 @@ def media_metadata(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.
     )
 
 
+# html is synthesized from text in lockstep with sources/pages.py
+_HTML_EXPR = f"'{HTML_PREFIX}' || text || '{HTML_SUFFIX}'"
+
 MEDIA_METADATA_SQL = (
-    "WITH " + PAGES_SQL_CTE.replace(
-        "SELECT 'https://example.org/",
-        "SELECT 'https://example.org/",
-    )
-    + "\n"
-    # html is synthesized from text in lockstep with sources/pages.py
+    "WITH " + PAGES_SQL_CTE + "\n"
     "SELECT url, 'text/html' AS media_type,\n"
-    "       CAST(length('<html><head><title>example.org</title></head><body>"
-    "<nav>home | about | contact</nav><article>' || text || "
-    "'</article><footer>(c) example.org crawl corpus</footer></body></html>') AS BIGINT) AS n_bytes,\n"
-    "       md5('<html><head><title>example.org</title></head><body>"
-    "<nav>home | about | contact</nav><article>' || text || "
-    "'</article><footer>(c) example.org crawl corpus</footer></body></html>') AS digest\n"
+    # octet_length(encode(...)) counts UTF-8 BYTES like the engine's
+    # binary_length — plain length() is character count and diverges on any
+    # non-ASCII text (ADVICE r1)
+    f"       CAST(octet_length(encode({_HTML_EXPR})) AS BIGINT) AS n_bytes,\n"
+    f"       md5({_HTML_EXPR}) AS digest\n"
     "FROM pages"
 )
 
@@ -169,6 +171,31 @@ def frame_sample(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Da
     return read_pages(sf_dir).map_batches(
         FrameSampler, **actor_kwargs(batch_size=MEDIA_BATCH_SIZE)
     )
+
+
+def frame_sample_meta(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """frame_sample minus the binary frame payload — the oracle-comparable
+    surface (url, frame_idx, offset, digest)."""
+    return frame_sample(sf_dir, cfg).select_columns(["url", "frame_idx", "offset", "digest"])
+
+
+# Oracle for the frame-sampling layout. DuckDB in this container has no BLOB
+# substring, so the oracle slices CHARACTERS while the engine slices BYTES —
+# identical on the all-ASCII synthesized corpus (the engine is the byte-true
+# side; octet_length keeps the frame COUNT byte-correct regardless).
+FRAME_SAMPLE_SQL = (
+    "WITH " + PAGES_SQL_CTE + ",\n"
+    f"b AS (SELECT url, {_HTML_EXPR} AS h FROM pages),\n"
+    "fr AS (\n"
+    "    SELECT url, h, unnest(range(0, greatest(1, CAST(ceil("
+    f"octet_length(encode(h)) / {FRAME_SIZE}.0) AS BIGINT)), {FRAME_STRIDE})) AS f\n"
+    "    FROM b\n"
+    ")\n"
+    "SELECT url, CAST(f AS BIGINT) AS frame_idx,\n"
+    f"       CAST(f * {FRAME_SIZE} AS BIGINT) AS offset,\n"
+    f"       md5(substring(h, CAST(f * {FRAME_SIZE} + 1 AS BIGINT), {FRAME_SIZE})) AS digest\n"
+    "FROM fr"
+)
 
 
 class ImageDecodeStub:

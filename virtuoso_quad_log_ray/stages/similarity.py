@@ -17,6 +17,12 @@ import ray
 import ray.data
 
 from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.numerics import (
+    fsb_from_matrix,
+    half_away_int64,
+    list_matrix,
+    matrix_from_fsb,
+)
 from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs, join_kwargs, self_join_input
 
 
@@ -26,7 +32,7 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     t = t.filter(pc.less(t["vec_id"], n_queries)).sort_by("vec_id")
-    q = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    q = list_matrix(t["embedding"])
     return t["vec_id"].to_numpy().astype(np.int64), q
 
 
@@ -41,7 +47,7 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
-        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = list_matrix(batch["embedding"])
         m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = self._q @ m_norm.T  # (n_queries, batch)
         k = min(self._k, sims.shape[1])
@@ -143,7 +149,7 @@ def _train_centroids(
 
         def partials(batch: pa.Table) -> pa.Table:
             c = ray.get(c_ref)
-            m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            m = list_matrix(batch["embedding"])
             assign = np.argmin(
                 ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1
             )
@@ -205,7 +211,7 @@ def ann_topk_ivf(
     def ivf_scan(batch: pa.Table) -> pa.Table:
         qids_, qn_, c_, probed_ = ray.get(state_ref)
         vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
-        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = list_matrix(batch["embedding"])
         assign = np.argmin(((m[:, None, :] - c_[None, :, :]) ** 2).sum(axis=2), axis=1)
         m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
         out_q, out_n, out_s = [], [], []
@@ -269,7 +275,7 @@ def embedding_clusters(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
-        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = list_matrix(batch["embedding"])
         a = np.argmin(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1)
         return pa.table(
             {
@@ -286,30 +292,33 @@ def embedding_clusters(
 # ---------------------------------------------------------------------------
 
 class RandomProjectionSign:
-    """Actor-pool stage: embedding -> b-bit random-hyperplane signature
-    (seeded, deterministic), emitted per band for bucket blocking."""
+    """Actor-pool stage: embedding -> per-band numeric bucket rows
+    (vec_id, band:int32, bv:int64) from a seeded random-hyperplane signature.
+    Fully vectorized — list flatten+reshape for the matrix, one matmul, one
+    reshape for the band values; no per-band Python loop or string keys."""
 
     def __init__(self, dim: int, n_bits: int, n_bands: int):
         rng = np.random.RandomState(7)
         self._planes = rng.standard_normal((dim, n_bits))
+        self._dim = dim
         self._n_bands = n_bands
         self._bits_per_band = n_bits // n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
-        m = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        signs = (m @ self._planes) > 0  # (n, n_bits)
+        n = len(vec_ids)
+        m = list_matrix(batch["embedding"], self._dim)
+        signs = (m @ self._planes) > 0  # (n, n_bits), bands contiguous
         weights = 1 << np.arange(self._bits_per_band, dtype=np.int64)
-        ids, buckets = [], []
-        for band in range(self._n_bands):
-            sl = signs[:, band * self._bits_per_band : (band + 1) * self._bits_per_band]
-            vals = sl.astype(np.int64) @ weights
-            ids.append(vec_ids)
-            buckets.append(np.char.add(f"{band}:", vals.astype(str)))
+        bv = (
+            signs.reshape(n, self._n_bands, self._bits_per_band).astype(np.int64)
+            * weights[None, None, :]
+        ).sum(axis=2)
         return pa.table(
             {
-                "vec_id": pa.array(np.concatenate(ids)),
-                "bucket": pa.array(np.concatenate(buckets).tolist(), type=pa.string()),
+                "vec_id": pa.array(np.repeat(vec_ids, self._n_bands)),
+                "band": pa.array(np.tile(np.arange(self._n_bands, dtype=np.int32), n)),
+                "bv": pa.array(bv.reshape(-1)),
             }
         )
 
@@ -325,73 +334,93 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-dup pairs via random-hyperplane LSH blocking,
     verified exactly (cosine recomputed on the candidate pair).
 
-    The verify stage looks candidate vectors up from a broadcast id->vector
-    map; at sandbox scale the whole table broadcasts, at 100 TB this becomes
-    a join against the embeddings table on vec_id (documented partitioning
-    assumption).
+    The verify stage hash-joins the distinct candidate pairs back to the
+    embeddings table on vec_id (once per side) — no driver-side table
+    materialization or whole-corpus broadcast anywhere; vectors ride the
+    verify joins only, as fixed_size_binary, never the band self-join.
     """
     import pyarrow.parquet as pq
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    dim = len(emb["embedding"][0])
-    vec_map_ref = ray.put(
-        dict(
-            zip(
-                emb["vec_id"].to_numpy().astype(np.int64).tolist(),
-                np.asarray(emb["embedding"].to_pylist(), dtype=np.float64),
-            )
-        )
-    )
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    dim = len(pq.read_table(emb_path, columns=["embedding"]).column(0)[0])
+    vecs = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
 
-    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     bucketed = vecs.map_batches(
         RandomProjectionSign,
         fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "n_bands": n_bands},
         **actor_kwargs(batch_size=4096),
     )
-
     bucketed = self_join_input(bucketed)
     joined = bucketed.join(
         bucketed,
         join_type="inner",
-        on=("bucket",),
+        on=("band", "bv"),
         **join_kwargs(cfg),
         left_suffix="_l",
         right_suffix="_r",
     )
 
+    _EMPTY_PAIRS = pa.table(
+        {"vec_a": pa.array([], type=pa.int64()), "vec_b": pa.array([], type=pa.int64())}
+    )
+
     def pair_rows(batch: pa.Table) -> pa.Table:
-        keep = pc.less(batch["vec_id_l"], batch["vec_id_r"])
-        b = batch.filter(keep)
-        key = pc.binary_join_element_wise(
-            pc.cast(b["vec_id_l"], pa.string()), pc.cast(b["vec_id_r"], pa.string()), "\x1f"
+        b = batch.filter(pc.less(batch["vec_id_l"], batch["vec_id_r"]))
+        if len(b) == 0:
+            return _EMPTY_PAIRS
+        # in-batch combiner: multi-band repeats collapse before the shuffle;
+        # the global distinct groupby runs on two fixed-width int64 keys
+        m = np.column_stack(
+            [b["vec_id_l"].to_numpy().astype(np.int64), b["vec_id_r"].to_numpy().astype(np.int64)]
         )
-        return pa.table({"pair": key})
+        uniq = np.unique(m, axis=0)
+        return pa.table({"vec_a": pa.array(uniq[:, 0]), "vec_b": pa.array(uniq[:, 1])})
 
-    distinct = joined.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True).groupby(
-        "pair"
-    ).count()
+    cand = (
+        joined.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["vec_a", "vec_b"])
+        .count()
+        .select_columns(["vec_a", "vec_b"])
+    )
 
-    class VerifyCosine:
-        def __init__(self):
-            self._vecs = ray.get(vec_map_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_a, out_b, out_ppm = [], [], []
-            for packed in batch["pair"].to_pylist() if len(batch) else []:
-                a_id, b_id = (int(x) for x in packed.split("\x1f"))
-                va, vb = self._vecs[a_id], self._vecs[b_id]
-                cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
-                if cos >= cos_threshold:
-                    out_a.append(a_id)
-                    out_b.append(b_id)
-                    out_ppm.append(int(round(cos * 1e6)))
+    def side(key: str):
+        def project(b: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "vec_a": pa.array(out_a, type=pa.int64()),
-                    "vec_b": pa.array(out_b, type=pa.int64()),
-                    "cos_ppm": pa.array(out_ppm, type=pa.int64()),
+                    key: pc.cast(b["vec_id"], pa.int64()),
+                    f"emb_{key}": fsb_from_matrix(list_matrix(b["embedding"], dim)),
                 }
             )
 
-    return distinct.map_batches(VerifyCosine, **actor_kwargs(max_pool=4))
+        return project
+
+    side_a = vecs.map_batches(side("vec_a"), batch_format="pyarrow", zero_copy_batch=True)
+    side_b = vecs.map_batches(side("vec_b"), batch_format="pyarrow", zero_copy_batch=True)
+    with_a = cand.join(side_a, join_type="inner", on=("vec_a",), **join_kwargs(cfg))
+    with_b = with_a.join(side_b, join_type="inner", on=("vec_b",), **join_kwargs(cfg))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], type=pa.int64()),
+                    "vec_b": pa.array([], type=pa.int64()),
+                    "cos_ppm": pa.array([], type=pa.int64()),
+                }
+            )
+        va = matrix_from_fsb(batch["emb_vec_a"], dim, np.float64)
+        vb = matrix_from_fsb(batch["emb_vec_b"], dim, np.float64)
+        cos = (va * vb).sum(axis=1) / (
+            np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        )
+        keep = cos >= cos_threshold
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "vec_a": pc.cast(pc.filter(batch["vec_a"], mask), pa.int64()),
+                "vec_b": pc.cast(pc.filter(batch["vec_b"], mask), pa.int64()),
+                "cos_ppm": pa.array(half_away_int64(cos[keep] * 1e6)),
+            }
+        )
+
+    return with_b.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -17,6 +17,7 @@ import ray
 import ray.data
 
 from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+from virtuoso_quad_log_ray.numerics import half_away_int64
 from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE, read_pages
 from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs
 
@@ -61,9 +62,11 @@ def text_quality(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Da
                 "url": batch["url"],
                 "n_tokens": pa.array(n_tokens),
                 "n_chars": pa.array(n_chars),
-                "mean_token_len_ppm": pa.array(np.round(mean_tok_len * 1e6).astype(np.int64)),
-                "stopword_ratio_ppm": pa.array(np.round(stop_ratio * 1e6).astype(np.int64)),
-                "distinct_ratio_ppm": pa.array(np.round(distinct_ratio * 1e6).astype(np.int64)),
+                # half-away rounding matches DuckDB round(); np.round is
+                # banker's and flips exact-.5 values (ADVICE r1)
+                "mean_token_len_ppm": pa.array(half_away_int64(mean_tok_len * 1e6)),
+                "stopword_ratio_ppm": pa.array(half_away_int64(stop_ratio * 1e6)),
+                "distinct_ratio_ppm": pa.array(half_away_int64(distinct_ratio * 1e6)),
             }
         )
 
@@ -89,8 +92,20 @@ def fingerprints(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Da
     pages = read_pages(sf_dir, include_html=False)
 
     def fp(batch: pa.Table) -> pa.Table:
-        digests = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
-        return pa.table({"url": batch["url"], "fingerprint": pa.array(digests, type=pa.string())})
+        # md5 is pinned by the oracle so hashing stays in hashlib, but
+        # dictionary-encode first: clone/mirror pages repeat byte-identical
+        # texts, so each unique document hashes ONCE per batch
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        d = text.dictionary_encode()
+        uniq_digests = np.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in d.dictionary.to_pylist()]
+        )
+        digests = uniq_digests[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        return pa.table(
+            {"url": batch["url"], "fingerprint": pa.array(digests, type=pa.string())}
+        )
 
     return pages.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
