@@ -34,3 +34,15 @@ def test_cli_lifecycle(tmp_path, capsys):
     import ray
 
     assert ray.is_initialized()  # CLI must not tear down a session it didn't start
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_run_loop(tmp_path, capsys):
+    """T8: the `run` subcommand drives >= 2 bounded iterations."""
+    sink = str(tmp_path / "sink")
+    assert (
+        main(["run", "--sf", SF_SMALL, "--out", sink, "--interval", "0", "--max-runs", "2"])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "dump[0]:" in out and "sync[1]:" in out

@@ -63,6 +63,37 @@ class TestRuns:
         man = load_manifest(root)
         assert man.run_index == 1
 
+    def test_run_loop_dump_then_syncs(self, tmp_path):
+        """T8 poll loop (entrypoint.sh:14-17): dump first, then interval
+        syncs; cursor advances per run; empty-diff re-poll commits 0 records;
+        sleep happens BETWEEN runs only."""
+        import datetime
+
+        root = str(tmp_path / "sink")
+        sleeps: list[float] = []
+        times = iter(
+            datetime.datetime(2025, 1, 1, 0, 0, i, tzinfo=datetime.timezone.utc)
+            for i in range(10)
+        )
+        mans = runs.run_loop(
+            SF_SMALL,
+            root,
+            interval_s=5.0,
+            max_runs=3,
+            cfg=CFG,
+            sleep=sleeps.append,
+            now=lambda: next(times),
+        )
+        assert [m.kind for m in mans] == ["dump", "sync", "sync"]
+        assert mans[0].quad_count > 0
+        assert mans[1].quad_count > 0  # v1 -> v2: real changes
+        assert mans[2].quad_count == 0  # v2 -> v2: no upstream change
+        assert sleeps == [5.0, 5.0]
+        assert [m.run_index for m in mans] == [0, 1, 2]
+        # cursor advanced to the last sync's checkpoint
+        assert ckpt.read_cursor(root) == mans[2].checkpoint
+        assert mans[1].checkpoint < mans[2].checkpoint
+
     def test_roundtrip_read_back(self, tmp_path):
         """write_rdfpatch -> read_rdfpatch reproduces the quad multiset
         (publication-surface round-trip; apply() semantics live in

@@ -4,6 +4,7 @@
     python -m virtuoso_quad_log_ray sync    --sf DIR --out SINK --checkpoint TS14
     python -m virtuoso_quad_log_ray publish --src SINK --pub DIR [--max-files N]
     python -m virtuoso_quad_log_ray materialize --sf DIR --out DIR [--buckets N]
+    python -m virtuoso_quad_log_ray run     --sf DIR --out SINK --interval N [--max-runs K]
     python -m virtuoso_quad_log_ray validate --sf DIR [--out SINK]
 
 Each invocation is one bounded run (the reference's poll loop,
@@ -59,6 +60,15 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--buckets", type=int, default=64)
     m.add_argument("--epoch", default=None)
 
+    r = sub.add_parser(
+        "run", help="poll loop: dump-then-sync every --interval seconds (T8)"
+    )
+    r.add_argument("--sf", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--interval", type=float, default=60.0, help="seconds between runs")
+    r.add_argument("--max-runs", type=int, default=None, help="stop after N runs (default: forever)")
+    r.add_argument("--epoch", default=None)
+
     v = sub.add_parser("validate", help="startup checks only")
     v.add_argument("--sf", required=True)
     v.add_argument("--out", default=None)
@@ -101,6 +111,21 @@ def main(argv: list[str] | None = None) -> int:
 
             man = run_sync(args.sf, args.out, checkpoint=args.checkpoint)
             print(f"sync: {man.quad_count} records in {man.file_count} files @ {man.checkpoint}")
+        elif args.cmd == "run":
+            from virtuoso_quad_log_ray.pipelines.runs import run_loop
+
+            mans = run_loop(
+                args.sf,
+                args.out,
+                interval_s=args.interval,
+                max_runs=args.max_runs,
+                epoch=args.epoch,
+            )
+            for man in mans:
+                print(
+                    f"{man.kind}[{man.run_index}]: {man.quad_count} records in "
+                    f"{man.file_count} files @ {man.checkpoint}"
+                )
         elif args.cmd == "materialize":
             from virtuoso_quad_log_ray.pipelines.kg import build_quads, dedup_quads
             from virtuoso_quad_log_ray.pipelines.materialize import materialize_quads

@@ -143,28 +143,59 @@ GRAPH_STATS_SQL = sql_with_pages(
 
 
 def chunk_plan(
-    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, *, max_quads_per_file: int | None = None
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    max_quads_per_file: int | None = None,
+    n_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """G2/G4 — deterministic per-graph file chunking.
 
     Assigns every quad its output file sequence number: quads of one graph,
     ordered by (s, p, o), are packed maxq per file (MAX_QUADS_PER_FILE
     semantics, buffer_nquads.sql:24-27; default generate-rdfpatch.sh:15-16).
-    One shuffle on g; ordering is per-group only (no global sort — the
-    reference's global ORDER BY ?g, dump_nquads.sql:49, is unnecessary here).
+
+    The shuffle key is ``hash(g) % n_buckets``, not g: with graph = url the
+    graph space has corpus cardinality and a per-graph map_groups schedules
+    one task per page (VERDICT r1 scale-killer). Each bucket task sorts by
+    (g, s, p, o) once and derives every contained graph's file_seq from
+    segment-relative positions — vectorized, many graphs per task. No
+    global sort (the reference's ORDER BY ?g, dump_nquads.sql:49, is
+    unnecessary under hashing).
     """
+    from virtuoso_quad_log_ray.pipelines.materialize import _bucket_of
+    from virtuoso_quad_log_ray.stages.shuffle import cluster_cpus
+
     maxq = max_quads_per_file or cfg.max_quads_per_file
+    nb = n_buckets or max(16, cluster_cpus() * 2)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return b.append_column("bucket", _bucket_of(b["g"], nb))
 
     def assign(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(
-            group, sort_keys=[("s", "ascending"), ("p", "ascending"), ("o", "ascending")]
+            group,
+            sort_keys=[
+                ("g", "ascending"),
+                ("s", "ascending"),
+                ("p", "ascending"),
+                ("o", "ascending"),
+            ],
         )
-        g_sorted = group.take(order)
-        seq = pa.array(np.arange(len(group), dtype=np.int64) // maxq)
-        return g_sorted.append_column("file_seq", seq)
+        t = group.take(order).select(["s", "p", "o", "g"])
+        g_np = t["g"].to_numpy(zero_copy_only=False)
+        n = len(t)
+        _, starts = np.unique(g_np, return_index=True)  # ascending (g sorted)
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        seq = (np.arange(n, dtype=np.int64) - seg_start) // maxq
+        return t.append_column("file_seq", pa.array(seq))
 
     quads = build_quads(sf_dir, cfg)
-    return quads.groupby("g").map_groups(assign, batch_format="pyarrow")
+    return (
+        quads.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(assign, batch_format="pyarrow")
+    )
 
 
 def chunk_plan_sql(maxq: int) -> str:

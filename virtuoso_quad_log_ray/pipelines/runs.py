@@ -135,3 +135,67 @@ def run_sync(
     )
     ckpt.write_cursor(out_root, checkpoint)
     return manifest
+
+
+def _version_of(last_source: str) -> int:
+    """'<sf_dir>#vN' -> N (the snapshot version a committed run last saw)."""
+    _, _, tag = last_source.rpartition("#v")
+    return int(tag) if tag.isdigit() else 1
+
+
+def run_loop(
+    sf_dir: str,
+    out_root: str,
+    *,
+    interval_s: float = 0.0,
+    max_runs: int | None = None,
+    epoch: str | None = None,
+    current_version: int = 2,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    sleep=None,
+    now=None,
+) -> list[RunManifest]:
+    """T8 poll loop — the reference's operational heartbeat
+    (quad-logger/entrypoint.sh:14-17: ``while true; do run; sleep
+    RUN_INTERVAL; done``), bounded for the sandbox by ``max_runs``.
+
+    Each iteration is one bounded run (the ``ray job submit`` unit):
+    no cursor -> initial dump of snapshot v1; cursor present -> incremental
+    sync from the last committed snapshot version to ``current_version``
+    (a re-poll with no upstream change diffs vN against vN: zero records,
+    cursor still advances — the reference likewise writes nothing when the
+    trx log has no new quads). ``sleep``/``now`` are injectable for tests;
+    checkpoints come from wall-clock ts14 (strictly increasing, enforced by
+    run_sync's cursor gate).
+    """
+    import datetime as _dt
+    import time as _time
+
+    from virtuoso_quad_log_ray.rdfpatch import ts14
+
+    sleep = sleep or _time.sleep
+    now = now or (lambda: _dt.datetime.now(_dt.timezone.utc))
+    manifests: list[RunManifest] = []
+    i = 0
+    while max_runs is None or i < max_runs:
+        if i:
+            sleep(interval_s)
+        cursor = ckpt.read_cursor(out_root)
+        if cursor is None:
+            man = run_dump(
+                sf_dir, out_root, epoch=epoch or ts14(now()), cfg=cfg, version=1
+            )
+        else:
+            prev = load_manifest(out_root)
+            prev_version = _version_of(prev.last_source) if prev else 1
+            man = run_sync(
+                sf_dir,
+                out_root,
+                checkpoint=ts14(now()),
+                cfg=cfg,
+                prev_version=prev_version,
+                new_version=current_version,
+            )
+        manifests.append(man)
+        i += 1
+    return manifests

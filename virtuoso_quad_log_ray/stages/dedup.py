@@ -35,7 +35,12 @@ import ray.data
 from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
 from virtuoso_quad_log_ray.numerics import fsb_from_matrix, half_away_int64, matrix_from_fsb
 from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE, read_pages
-from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs, join_kwargs, self_join_input
+from virtuoso_quad_log_ray.stages.shuffle import (
+    actor_kwargs,
+    bucket_aggregate,
+    join_kwargs,
+    self_join_input,
+)
 
 _SEP = "\x1f"
 
@@ -87,17 +92,15 @@ def dedup_pages_exact(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.da
         return pa.table({"k1": pa.array(k1), "k2": pa.array(k2), "url": batch["url"]})
 
     keyed = pages.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
-    # Min/Count pre-aggregate per block before the shuffle (no per-group
-    # Python loop — map_groups over millions of groups would serialize).
-    from ray.data.aggregate import Count, Min
-
-    agg = keyed.groupby(["k1", "k2"]).aggregate(Min("url"), Count())
+    # bucketed vectorized aggregate (shuffle.bucket_aggregate): each text
+    # hash lands wholly in one bucket; per-bucket one C++ hash aggregation
+    agg = bucket_aggregate(keyed, ["k1", "k2"], [("url", "min"), ("url", "count")])
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "keeper_url": batch["min(url)"],
-                "n_copies": pc.cast(batch["count()"], pa.int64()),
+                "keeper_url": batch["url_min"],
+                "n_copies": pc.cast(batch["url_count"], pa.int64()),
             }
         )
 
@@ -282,11 +285,13 @@ def ngram_jaccard_pairs(
             }
         )
 
-    from ray.data.aggregate import Min, Sum
-
     pairs = joined.map_batches(pair_key, batch_format="pyarrow", zero_copy_batch=True)
-    counted = pairs.groupby(["h1", "h2"]).aggregate(
-        Sum("n"), Min("url_a"), Min("url_b"), Min("size_a"), Min("size_b")
+    # bucketed vectorized aggregate: Ray's native per-row combine measured
+    # ~160 CPU-s on this phase at sf0.1; one C++ hash agg per bucket instead
+    counted = bucket_aggregate(
+        pairs,
+        ["h1", "h2"],
+        [("n", "sum"), ("url_a", "min"), ("url_b", "min"), ("size_a", "min"), ("size_b", "min")],
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -298,16 +303,16 @@ def ngram_jaccard_pairs(
                     "jaccard_ppm": pa.array([], type=pa.int64()),
                 }
             )
-        inter = pc.cast(batch["sum(n)"], pa.int64()).to_numpy(zero_copy_only=False)
-        size_a = batch["min(size_a)"].to_numpy(zero_copy_only=False)
-        size_b = batch["min(size_b)"].to_numpy(zero_copy_only=False)
+        inter = pc.cast(batch["n_sum"], pa.int64()).to_numpy(zero_copy_only=False)
+        size_a = batch["size_a_min"].to_numpy(zero_copy_only=False)
+        size_b = batch["size_b_min"].to_numpy(zero_copy_only=False)
         j = inter / (size_a + size_b - inter)
         keep = j >= tau
         mask = pa.array(keep)
         return pa.table(
             {
-                "url_a": pc.filter(batch["min(url_a)"], mask),
-                "url_b": pc.filter(batch["min(url_b)"], mask),
+                "url_a": pc.filter(batch["url_a_min"], mask),
+                "url_b": pc.filter(batch["url_b_min"], mask),
                 "jaccard_ppm": pa.array(half_away_int64(j[keep] * 1e6)),
             }
         )
@@ -484,12 +489,10 @@ def _dedup_candidate_pairs(joined: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
-    from ray.data.aggregate import Min
-
     pairs = joined.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
-    distinct = pairs.groupby(["h1", "h2"]).aggregate(Min("url_a"), Min("url_b"))
+    distinct = bucket_aggregate(pairs, ["h1", "h2"], [("url_a", "min"), ("url_b", "min")])
     return distinct.map_batches(
-        lambda b: pa.table({"url_a": b["min(url_a)"], "url_b": b["min(url_b)"]}),
+        lambda b: pa.table({"url_a": b["url_a_min"], "url_b": b["url_b_min"]}),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -581,8 +584,8 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    with_a = cand.join(side_a, join_type="inner", on=("url_a",), **join_kwargs(cfg))
-    with_b = with_a.join(side_b, join_type="inner", on=("url_b",), **join_kwargs(cfg))
+    with_a = cand.join(side_a, join_type="inner", on=("url_a",), **join_kwargs(cfg, small=True))
+    with_b = with_a.join(side_b, join_type="inner", on=("url_b",), **join_kwargs(cfg, small=True))
 
     def finalize(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -767,19 +770,17 @@ def simhash_pairs(
             }
         )
 
-    from ray.data.aggregate import Min
-
     pairs = joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
-    distinct = pairs.groupby(["h1", "h2"]).aggregate(
-        Min("url_a"), Min("url_b"), Min("hamming")
+    distinct = bucket_aggregate(
+        pairs, ["h1", "h2"], [("url_a", "min"), ("url_b", "min"), ("hamming", "min")]
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "url_a": batch["min(url_a)"],
-                "url_b": batch["min(url_b)"],
-                "hamming": pc.cast(batch["min(hamming)"], pa.int64()),
+                "url_a": batch["url_a_min"],
+                "url_b": batch["url_b_min"],
+                "hamming": pc.cast(batch["hamming_min"], pa.int64()),
             }
         )
 

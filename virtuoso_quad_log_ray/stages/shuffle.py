@@ -34,10 +34,17 @@ def join_partitions(cfg: EngineConfig = DEFAULT_CONFIG) -> int:
     return max(2, min(cfg.num_shuffle_partitions, cluster_cpus() // 2))
 
 
-def join_kwargs(cfg: EngineConfig = DEFAULT_CONFIG) -> dict[str, Any]:
-    """kwargs for Dataset.join: partition count + fractional-CPU aggregators."""
+def join_kwargs(cfg: EngineConfig = DEFAULT_CONFIG, *, small: bool = False) -> dict[str, Any]:
+    """kwargs for Dataset.join: partition count + fractional-CPU aggregators.
+
+    ``small=True`` is for joins whose probe side is metadata-sized (e.g.
+    verified candidate pairs — proportional to the duplicate set, not the
+    corpus): each partition is an aggregator ACTOR with startup latency, so
+    a 16-way fleet on a thousand-row join is pure overhead.
+    """
+    parts = max(2, join_partitions(cfg) // 4) if small else join_partitions(cfg)
     return {
-        "num_partitions": join_partitions(cfg),
+        "num_partitions": parts,
         "aggregator_ray_remote_args": {"num_cpus": 0.5},
     }
 
@@ -72,6 +79,50 @@ def actor_kwargs(*, batch_size: int = 2048, max_pool: int | None = None) -> dict
         "batch_format": "pyarrow",
         "zero_copy_batch": True,
     }
+
+
+def bucket_aggregate(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    *,
+    hash_col: str | None = None,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Hash-bucketed groupby-aggregate with a VECTORIZED combine.
+
+    Ray's native ``groupby().aggregate()`` sorts, then combines row by row
+    in Python — measured ~100us/row on 2-int64-key Sum+Min aggregates (the
+    n-gram pair phase burned ~160 CPU-seconds aggregating ~2M rows; this
+    path does the same work in ~3s wall). Rows are hash-partitioned into
+    ``n_buckets`` coarse buckets (each key lands wholly in one bucket, so
+    per-bucket aggregation is globally correct), and each bucket runs ONE
+    pyarrow ``Table.group_by().aggregate()`` — C++ hash aggregation. Same
+    exchange volume as the native path, vectorized combine cost.
+
+    ``hash_col`` names an int64 column uniformly distributed across keys
+    (e.g. a 64-bit content hash that determines the key); defaults to
+    keys[0]. Output columns: keys + pyarrow's "{col}_{fn}" names.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    nb = n_buckets or max(4, cluster_cpus())
+    hc = hash_col or keys[0]
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        v = b[hc].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        pk = (v.view(np.uint64) % np.uint64(nb)).view(np.int64)
+        return b.append_column("_pk", pa.array(pk))
+
+    def combine(group: pa.Table) -> pa.Table:
+        return group.drop_columns(["_pk"]).group_by(keys).aggregate(aggs)
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pk")
+        .map_groups(combine, batch_format="pyarrow")
+    )
 
 
 def self_join_input(ds: "ray.data.Dataset") -> "ray.data.Dataset":

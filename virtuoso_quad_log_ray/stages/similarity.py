@@ -23,7 +23,12 @@ from virtuoso_quad_log_ray.numerics import (
     list_matrix,
     matrix_from_fsb,
 )
-from virtuoso_quad_log_ray.stages.shuffle import actor_kwargs, join_kwargs, self_join_input
+from virtuoso_quad_log_ray.stages.shuffle import (
+    actor_kwargs,
+    bucket_aggregate,
+    join_kwargs,
+    self_join_input,
+)
 
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -328,11 +333,17 @@ def embedding_neardup_pairs(
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     cos_threshold: float = 0.45,
-    n_bits: int = 16,
-    n_bands: int = 8,
+    n_bits: int = 64,
+    n_bands: int = 16,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH blocking,
     verified exactly (cosine recomputed on the candidate pair).
+
+    Banding default 64 bits / 16 bands (4 bits per band): measured recall
+    0.97 vs the near-exhaustive 2-bit-band config at sf0.1 (137/141 pairs)
+    at ~35%% less candidate volume; precision is 1.0 regardless (exact
+    cosine verify). A 0.45 threshold is LOW for hyperplane LSH — raise
+    bits-per-band for higher thresholds.
 
     The verify stage hash-joins the distinct candidate pairs back to the
     embeddings table on vec_id (once per side) — no driver-side table
@@ -376,12 +387,11 @@ def embedding_neardup_pairs(
         uniq = np.unique(m, axis=0)
         return pa.table({"vec_a": pa.array(uniq[:, 0]), "vec_b": pa.array(uniq[:, 1])})
 
-    cand = (
-        joined.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["vec_a", "vec_b"])
-        .count()
-        .select_columns(["vec_a", "vec_b"])
-    )
+    cand = bucket_aggregate(
+        joined.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["vec_a", "vec_b"],
+        [("vec_b", "count")],
+    ).select_columns(["vec_a", "vec_b"])
 
     def side(key: str):
         def project(b: pa.Table) -> pa.Table:
@@ -396,8 +406,8 @@ def embedding_neardup_pairs(
 
     side_a = vecs.map_batches(side("vec_a"), batch_format="pyarrow", zero_copy_batch=True)
     side_b = vecs.map_batches(side("vec_b"), batch_format="pyarrow", zero_copy_batch=True)
-    with_a = cand.join(side_a, join_type="inner", on=("vec_a",), **join_kwargs(cfg))
-    with_b = with_a.join(side_b, join_type="inner", on=("vec_b",), **join_kwargs(cfg))
+    with_a = cand.join(side_a, join_type="inner", on=("vec_a",), **join_kwargs(cfg, small=True))
+    with_b = with_a.join(side_b, join_type="inner", on=("vec_b",), **join_kwargs(cfg, small=True))
 
     def finalize(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
