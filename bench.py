@@ -18,9 +18,10 @@ cores beyond the emulated cluster size, and times a warm run (one prior
 pass starts the worker fleet — a real cluster's workers are long-lived).
 
 The headline pipeline is the full KG construction chain on a replicated
-pages corpus (read -> synthesize html -> extract text -> extract+link
-triples -> count), i.e. every record crosses the whole extraction data
-plane. Replication inflates sf0.1's 5,000 docs deterministically so the
+pages corpus, END TO END TO STORAGE (read -> synthesize html -> extract
+text -> extract+link triples -> bucketed sorted-Parquet materialize), i.e.
+every record crosses the whole extraction data plane and is written out.
+Replication inflates sf0.1's 5,000 docs deterministically so the
 measurement is not overhead-bound.
 """
 
@@ -53,15 +54,29 @@ def _init_ray(num_cpus: int) -> None:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
 
-def headline_quads(sf_dir: str, replicate: int) -> int:
-    """Full KG extraction chain; returns quad count (consumes the stream)."""
+def headline_quads(sf_dir: str, replicate: int, *, write: bool = True) -> int:
+    """Full KG chain END-TO-END-TO-STORAGE: read -> synthesize -> extract
+    text -> extract+link triples -> bucketed sorted-Parquet materialize
+    (write=False stops at count() for micro-comparisons). Returns quad
+    count; the write lands in a throwaway /tmp dir per call."""
     from virtuoso_quad_log_ray.sources.pages import read_pages
     from virtuoso_quad_log_ray.stages.extract_text import extract_text
     from virtuoso_quad_log_ray.stages.extract_triples import extract_triples
 
     pages = read_pages(sf_dir, replicate=replicate)
     quads = extract_triples(extract_text(pages))
-    return quads.count()
+    if not write:
+        return quads.count()
+    import shutil
+    import tempfile
+
+    from virtuoso_quad_log_ray.pipelines.materialize import materialize_quads
+
+    out = tempfile.mkdtemp(prefix="graft_headline_", dir="/tmp")
+    try:
+        return materialize_quads(quads, out, epoch="bench").quad_count
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def run_suite() -> dict:

@@ -1,0 +1,71 @@
+"""numerics helpers: rounding parity with DuckDB, fsb/list matrix codecs.
+
+No Ray needed — pure numpy/pyarrow/duckdb units (the half-away rule is the
+ADVICE r1 fix: np.round is banker's, DuckDB round() is half away from zero).
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from virtuoso_quad_log_ray.numerics import (
+    fsb_from_matrix,
+    half_away_int64,
+    list_matrix,
+    matrix_from_fsb,
+    scaled_int_array,
+)
+
+
+def test_half_away_matches_duckdb_on_exact_halves():
+    vals = [0.5, 1.5, 2.5, 3.5, -0.5, -1.5, -2.5, 0.499999, 1.2, -1.7, 0.0]
+    ours = half_away_int64(np.array(vals)).tolist()
+    con = duckdb.connect()
+    theirs = [
+        int(con.sql(f"SELECT CAST(round({v!r}) AS BIGINT)").fetchone()[0]) for v in vals
+    ]
+    assert ours == theirs
+    # np.round (banker's) would disagree on 0.5 -> 0, 2.5 -> 2
+    assert ours[0] == 1 and ours[2] == 3
+
+
+def test_scaled_int_array_cents():
+    arr = pa.array([1.005, 2.675, -3.335])
+    # CAST AS DOUBLE mirrors reality: the oracle reads parquet DOUBLE columns
+    # (a bare 1.005 literal would be DECIMAL and round differently)
+    con = duckdb.connect()
+    expect = [
+        int(
+            con.sql(
+                f"SELECT CAST(round(100 * CAST({v!r} AS DOUBLE)) AS BIGINT)"
+            ).fetchone()[0]
+        )
+        for v in [1.005, 2.675, -3.335]
+    ]
+    assert scaled_int_array(arr, 100).to_pylist() == expect
+
+
+def test_fsb_matrix_roundtrip_and_slice():
+    mat = np.arange(24, dtype=np.uint64).reshape(4, 6)
+    fsb = fsb_from_matrix(mat)
+    assert fsb.type == pa.binary(48)
+    back = matrix_from_fsb(fsb, 6, np.uint64)
+    assert (back == mat).all()
+    # offset-aware: a sliced array must decode the right rows
+    back2 = matrix_from_fsb(fsb.slice(1, 2), 6, np.uint64)
+    assert (back2 == mat[1:3]).all()
+
+
+def test_fsb_matrix_float64():
+    mat = np.random.RandomState(0).standard_normal((3, 5))
+    back = matrix_from_fsb(fsb_from_matrix(mat), 5, np.float64)
+    assert np.allclose(back, mat)
+
+
+def test_list_matrix_infers_dim_and_handles_slices():
+    col = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    m = list_matrix(col)
+    assert m.shape == (3, 2) and m[2, 1] == 6.0
+    m2 = list_matrix(col.slice(1, 2), dim=2)
+    assert (m2 == np.array([[3.0, 4.0], [5.0, 6.0]])).all()
+    assert list_matrix(pa.array([], type=pa.list_(pa.float64()))).shape[0] == 0

@@ -197,6 +197,7 @@ class TestBundlerScenarios:
         assert set(written) == {
             "resource-dump.xml",
             "capability-list.xml",
+            os.path.join("g", "capability-list.xml"),  # one per graph dir (S8)
             os.path.join(".well-known", "resourcesync"),
         }
         import xml.etree.ElementTree as ET
@@ -213,6 +214,29 @@ class TestBundlerScenarios:
             md = u.find("rs:md", ns)
             assert md.get("hash", "").startswith("md5:")
             assert int(md.get("length")) > 0
+            # per-resource lastmod from the rdf_out_<ts14> names (S8)
+            assert u.find("sm:lastmod", ns).text == "0000-00-00T00:00:00Z"
+        # dump-level max lastmod rides the rs:md (synchronizer.py:168-170)
+        assert root.find("rs:md", ns).get("at") == "0000-00-00T00:00:00Z"
+        # source description registers the per-graph capability list
+        src_desc = ET.parse(os.path.join(pub, ".well-known", "resourcesync")).getroot()
+        cap_locs = [u.find("sm:loc", ns).text for u in src_desc.findall("sm:url", ns)]
+        assert any(loc.endswith("g/capability-list.xml") for loc in cap_locs)
+
+    def test_move_resources_seals_sources(self, tmp_path):
+        """MOVE_RESOURCES (zipsynchronizer.py:142-148): sources sealed into
+        def zips are removed; the remainder stays; re-publish is a no-op."""
+        src, pub = str(tmp_path / "src"), str(tmp_path / "pub")
+        b = Bundler(src, pub, max_files=2, move_resources=True)
+        m = _mk_manifest(src, 5)
+        st = b.publish()
+        assert (st.def_count, st.end_count) == (2, 1)
+        on_disk = {e.name for e in m.files if os.path.exists(os.path.join(src, e.name))}
+        sealed = {e.name for e in m.files[:4]}
+        assert on_disk.isdisjoint(sealed)  # sealed sources removed
+        assert on_disk == {m.files[4].name}  # remainder kept (end zip source)
+        st2 = b.publish()  # idempotent: sealed zips never re-read
+        assert (st2.def_count, st2.end_count) == (2, 1)
 
     def test_unchanged_remainder_not_rewritten(self, tmp_path):
         """is_same skip (zipsynchronizer.py:149): same remainder -> the end

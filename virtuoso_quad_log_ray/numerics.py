@@ -57,4 +57,6 @@ def list_matrix(col, dim: int | None = None, dtype=np.float64) -> np.ndarray:
     flat = col.flatten().to_numpy(zero_copy_only=False)
     if dim is None:
         dim = len(flat) // len(col) if len(col) else 0
+    if dim == 0:
+        return np.zeros((len(col), 0), dtype=dtype)
     return np.ascontiguousarray(flat.reshape(-1, dim).astype(dtype, copy=False))

@@ -213,10 +213,25 @@ class Bundler:
         synchronizer.py:157-163).
     """
 
-    def __init__(self, source_root: str, publish_root: str, *, max_files: int = 2):
+    def __init__(
+        self,
+        source_root: str,
+        publish_root: str,
+        *,
+        max_files: int = 2,
+        move_resources: bool = False,
+    ):
+        """``move_resources=True`` mirrors the reference's MOVE_RESOURCES
+        mode (zipsynchronizer.py:142-148, warning at :119): source files
+        sealed into an immutable ``part_def_N.zip`` are REMOVED from the
+        source sink, so it stops growing unboundedly across runs. Sealed
+        zips are never re-read, so idempotent re-publish still works off
+        the manifest's sealed-count. WARNING: destructive on the source
+        dir by design."""
         self.source_root = source_root
         self.publish_root = publish_root
         self.max_files = max_files
+        self.move_resources = move_resources
 
     # -- state inspection ---------------------------------------------------
 
@@ -259,6 +274,12 @@ class Bundler:
                 if idx < already_sealed:
                     continue
                 self._write_zip(f"part_def_{idx:05d}.zip", chunk)
+                if self.move_resources:
+                    # MOVE_RESOURCES source sealing (zipsynchronizer.py:142-148)
+                    for rel in chunk:
+                        src = os.path.join(self.source_root, rel)
+                        if os.path.exists(src):
+                            os.remove(src)
 
             # provisional end zip: replace iff contents changed
             prev_end = self._end_zip()
@@ -281,9 +302,25 @@ class Bundler:
 
     # -- helpers ------------------------------------------------------------
 
+    @staticmethod
+    def _lastmod_of(rel: str) -> str | None:
+        """Per-resource lastmod from the rdf_out_<ts14> filename, as W3C
+        datetime (the reference extracts it the same way,
+        synchronizer.py:116-140,160-170)."""
+        from virtuoso_quad_log_ray.rdfpatch import ts14_to_w3c
+
+        base = os.path.basename(rel)
+        if base.startswith("rdf_out_") and len(base) >= 22:
+            t = base[8:22]
+            if t.isdigit():
+                return ts14_to_w3c(t)
+        return None
+
     def _write_zip(self, zip_name: str, file_names: list[str]) -> None:
         """Bundle + embedded manifest + sidecar metadata (resource-dump.xml /
-        capability-list.xml analog, zipsynchronizer.py:175-232)."""
+        capability-list.xml analog, zipsynchronizer.py:175-232). The sidecar
+        records per-resource lastmod and the zip's max lastmod (the
+        reference's ResourceList lastmod, synchronizer.py:100-114)."""
         import json
 
         final = os.path.join(self.publish_root, zip_name)
@@ -298,11 +335,15 @@ class Bundler:
         os.replace(part, final)
         with open(final, "rb") as f:
             digest = hashlib.md5(f.read()).hexdigest()
+        lastmods = {rel: self._lastmod_of(rel) for rel in file_names}
+        known = [v for v in lastmods.values() if v]
         meta = {
             "zip": zip_name,
             "md5": digest,
             "length": os.path.getsize(final),
             "resources": file_names,
+            "resource_lastmod": lastmods,
+            "lastmod": max(known) if known else None,
         }
         with open(final + ".meta.json", "w") as f:
             json.dump(meta, f, indent=1)
@@ -316,11 +357,15 @@ class Bundler:
 
     def publish_metadata(self, base_uri: str = "http://example.org/pub") -> list[str]:
         """Write the ResourceSync-style metadata documents for the current
-        publish state: ``resource-dump.xml`` (one <url> per zip, with md5 /
-        length from the sidecars), ``capability-list.xml``, and
-        ``.well-known/resourcesync`` (source description). Driver-side pure
-        metadata, rewritten whole each run (the reference rewrites and
-        rolls back these files as a unit, zipsynchronizer.py:69-109)."""
+        publish state: ``resource-dump.xml`` (one <url> per zip with md5 /
+        length / lastmod from the sidecars, plus the dump's max lastmod on
+        its rs:md — synchronizer.py:100-114,168-170), one capability list
+        PER GRAPH DIRECTORY plus the flat top-level one, and
+        ``.well-known/resourcesync`` (source description) registering every
+        capability list — the reference registers one per graph subdir
+        (syncdirector.py:106-121,139-142). Driver-side pure metadata,
+        rewritten whole each run (the reference rewrites and rolls back
+        these files as a unit, zipsynchronizer.py:69-109)."""
         import json
         from xml.sax.saxutils import escape as x
 
@@ -330,13 +375,23 @@ class Bundler:
             if n.endswith(".zip") and (n.startswith("part_def_") or n.startswith("part_end_"))
         )
         url_entries = []
+        graph_dirs: set[str] = set()
+        all_lastmods: list[str] = []
         for zname in zips:
             meta_path = os.path.join(self.publish_root, zname + ".meta.json")
             with open(meta_path) as f:
                 meta = json.load(f)
+            for rel in meta.get("resources", []):
+                d, _, _ = rel.partition("/")
+                if d:
+                    graph_dirs.add(d)
+            lastmod = meta.get("lastmod")
+            if lastmod:
+                all_lastmods.append(lastmod)
+            lm_el = f"\n    <lastmod>{x(lastmod)}</lastmod>" if lastmod else ""
             url_entries.append(
                 f"  <url>\n"
-                f"    <loc>{x(base_uri)}/{x(zname)}</loc>\n"
+                f"    <loc>{x(base_uri)}/{x(zname)}</loc>{lm_el}\n"
                 f"    <rs:md at=\"true\" hash=\"md5:{meta['md5']}\" length=\"{meta['length']}\""
                 f" type=\"application/zip\"/>\n"
                 f"  </url>"
@@ -345,35 +400,45 @@ class Bundler:
             'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" '
             'xmlns:rs="http://www.openarchives.org/rs/terms/"'
         )
+        dump_at = f' at="{x(max(all_lastmods))}"' if all_lastmods else ""
         dump_xml = (
             '<?xml version="1.0" encoding="UTF-8"?>\n'
             f"<urlset {ns}>\n"
-            '  <rs:md capability="resourcedump"/>\n'
+            f'  <rs:md capability="resourcedump"{dump_at}/>\n'
             + "\n".join(url_entries)
             + "\n</urlset>\n"
         )
-        cap_xml = (
-            '<?xml version="1.0" encoding="UTF-8"?>\n'
-            f"<urlset {ns}>\n"
-            '  <rs:md capability="capabilitylist"/>\n'
-            f"  <url><loc>{x(base_uri)}/resource-dump.xml</loc>"
-            '<rs:md capability="resourcedump"/></url>\n'
-            "</urlset>\n"
+
+        def cap_list_xml() -> str:
+            return (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                f"<urlset {ns}>\n"
+                '  <rs:md capability="capabilitylist"/>\n'
+                f"  <url><loc>{x(base_uri)}/resource-dump.xml</loc>"
+                '<rs:md capability="resourcedump"/></url>\n'
+                "</urlset>\n"
+            )
+
+        cap_rels = ["capability-list.xml"] + [
+            os.path.join(d, "capability-list.xml") for d in sorted(graph_dirs)
+        ]
+        src_entries = "\n".join(
+            f"  <url><loc>{x(base_uri)}/{x(rel.replace(os.sep, '/'))}</loc>"
+            '<rs:md capability="capabilitylist"/></url>'
+            for rel in cap_rels
         )
         src_xml = (
             '<?xml version="1.0" encoding="UTF-8"?>\n'
             f"<urlset {ns}>\n"
             '  <rs:md capability="description"/>\n'
-            f"  <url><loc>{x(base_uri)}/capability-list.xml</loc>"
-            '<rs:md capability="capabilitylist"/></url>\n'
-            "</urlset>\n"
+            + src_entries
+            + "\n</urlset>\n"
         )
         written = []
-        for rel, body in (
-            ("resource-dump.xml", dump_xml),
-            ("capability-list.xml", cap_xml),
-            (os.path.join(".well-known", "resourcesync"), src_xml),
-        ):
+        docs = [("resource-dump.xml", dump_xml)]
+        docs += [(rel, cap_list_xml()) for rel in cap_rels]
+        docs.append((os.path.join(".well-known", "resourcesync"), src_xml))
+        for rel, body in docs:
             path = os.path.join(self.publish_root, rel)
             os.makedirs(os.path.dirname(path) or self.publish_root, exist_ok=True)
             tmp = path + ".part"

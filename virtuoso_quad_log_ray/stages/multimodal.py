@@ -105,14 +105,22 @@ class ByteHistogram:
         payload = batch["html"]
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
-        feats = []
-        for v in payload.to_pylist():
-            b = np.frombuffer(v, dtype=np.uint8)
-            feats.append(np.bincount(self._bin_of_byte[b], minlength=self.N_BINS).tolist())
+        n = len(payload)
+        # zero-copy over the Arrow binary buffers: one flat bincount keyed
+        # by doc*N_BINS + bin does every document at once (no Python loop)
+        offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+            payload.offset : payload.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+        doc_idx = np.repeat(np.arange(n), np.diff(offs))
+        bins = self._bin_of_byte[data[offs[0] : offs[-1]]]
+        flat = np.bincount(doc_idx * self.N_BINS + bins, minlength=n * self.N_BINS)
         return pa.table(
             {
                 "url": batch["url"],
-                "byte_hist": pa.array(feats, type=pa.list_(pa.int64(), self.N_BINS)),
+                "byte_hist": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat.astype(np.int64)), self.N_BINS
+                ),
             }
         )
 
