@@ -118,7 +118,15 @@ DEDUP_PAGES_EXACT_SQL = (
 # ---------------------------------------------------------------------------
 
 def _shingle_rows(sf_dir: str, n: int) -> ray.data.Dataset:
-    """pages -> rows (url, shingle, size) where size = |distinct shingles|.
+    """pages -> rows (url, s1, s2, size): one row per distinct (doc, shingle),
+    where (s1, s2) is the shingle's 128-bit content hash and size =
+    |distinct shingles| of the doc.
+
+    The shingle TEXT never leaves the exploding task — the inverted-index
+    self-join runs on two fixed-width int64 key columns (16 bytes/row
+    instead of a ~25-byte word n-gram string), which matters because this
+    join is the single largest exchange in the dedup suite. 128 bits keeps
+    the intersection counts exact (collision odds ~U^2/2^129).
 
     Fully Arrow-vectorized: tokenize with split_pattern, build n-grams by
     joining the flattened token array against itself at offsets 1..n-1
@@ -127,6 +135,15 @@ def _shingle_rows(sf_dir: str, n: int) -> ray.data.Dataset:
     No Python loop over documents or tokens.
     """
     pages = read_pages(sf_dir, include_html=False)
+
+    _EMPTY = pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "s1": pa.array([], type=pa.int64()),
+            "s2": pa.array([], type=pa.int64()),
+            "size": pa.array([], type=pa.int64()),
+        }
+    )
 
     def explode(batch: pa.Table) -> pa.Table:
         url = batch["url"]
@@ -141,13 +158,7 @@ def _shingle_rows(sf_dir: str, n: int) -> ray.data.Dataset:
             parents = parents.combine_chunks()
         m = len(flat)
         if m < n:
-            return pa.table(
-                {
-                    "url": pa.array([], type=pa.string()),
-                    "shingle": pa.array([], type=pa.string()),
-                    "size": pa.array([], type=pa.int64()),
-                }
-            )
+            return _EMPTY
         # windows of n consecutive flat tokens, valid iff endpoints share a row
         views = [flat.slice(k, m - n + 1) for k in range(n)]
         shingles = pc.binary_join_element_wise(*views, " ")
@@ -165,10 +176,12 @@ def _shingle_rows(sf_dir: str, n: int) -> ray.data.Dataset:
             "shingle_count"
         ].to_numpy()
         idx = distinct["i"]
+        s1, s2 = _hash128(distinct["shingle"])
         return pa.table(
             {
                 "url": pc.take(url, idx),
-                "shingle": distinct["shingle"],
+                "s1": pa.array(s1),
+                "s2": pa.array(s2),
                 "size": pa.array(size_by_row[idx.to_numpy().astype(np.int64)]),
             }
         )
@@ -186,12 +199,12 @@ def ngram_jaccard_pairs(
 ) -> ray.data.Dataset:
     """EXACT n-gram Jaccard near-dup pairs (url_a < url_b, J >= threshold).
 
-    Inverted-index self-join: (url, shingle, size) ⋈ shingle -> co-occurring
-    page pairs; groupby(pair).count() = |intersection| (partial-aggregated
-    before the shuffle); J = inter / (size_a + size_b - inter). Sizes ride
-    inside the pair key so no second lookup join is needed. Reported
-    ``jaccard_ppm`` is an integer (round(J*1e6)) so the value-hash is immune
-    to float formatting.
+    Inverted-index self-join: (url, s1, s2, size) ⋈ (s1, s2) — the shingle's
+    128-bit hash, 16 fixed bytes/row, never the shingle text — gives
+    co-occurring page pairs; groupby(pair).sum = |intersection| (combined
+    in-batch before the shuffle); J = inter / (size_a + size_b - inter).
+    Reported ``jaccard_ppm`` is an integer (round(J*1e6)) so the value-hash
+    is immune to float formatting.
     """
     tau = threshold if threshold is not None else cfg.jaccard_threshold
     n = shingle_size if shingle_size is not None else cfg.shingle_size
@@ -203,27 +216,29 @@ def ngram_jaccard_pairs(
         # it broadcasts into a vectorized is_in filter — no second shuffle.
         # Documented approximation: J is then computed over non-hot shingles
         # only (boilerplate carries no dedup signal); the oracle-checked
-        # default keeps the cap disabled so results stay exact.
-        freq = rows.groupby("shingle").count()
+        # default keeps the cap disabled so results stay exact. The filter
+        # key is the 64-bit s1 alone — a collision only drops an extra
+        # (boilerplate-adjacent) shingle on this already-approximate path.
+        freq = rows.groupby(["s1", "s2"]).count()
         hot = freq.map_batches(
-            lambda b: b.filter(pc.greater(b["count()"], max_shingle_freq)).select(["shingle"]),
+            lambda b: b.filter(pc.greater(b["count()"], max_shingle_freq)).select(["s1"]),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         hot_set = pa.concat_tables(
             [t for t in (ray.get(r) for r in hot.to_arrow_refs()) if t.num_columns]
         ).combine_chunks()
-        hot_ref = ray.put(hot_set["shingle"].combine_chunks())
+        hot_ref = ray.put(hot_set["s1"].combine_chunks())
 
         def drop_hot(b: pa.Table) -> pa.Table:
             hs = ray.get(hot_ref)
-            return b.filter(pc.invert(pc.is_in(b["shingle"], value_set=hs)))
+            return b.filter(pc.invert(pc.is_in(b["s1"], value_set=hs)))
 
         rows = rows.map_batches(drop_hot, batch_format="pyarrow", zero_copy_batch=True)
     joined = rows.join(
         rows,
         join_type="inner",
-        on=("shingle",),
+        on=("s1", "s2"),
         **join_kwargs(cfg),
         left_suffix="_l",
         right_suffix="_r",
