@@ -59,7 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_shard_plan": lambda sf: tx.shard_plan(sf),
         # --- multimodal binary-column stages (decode stubbed, plumbing real) ---
         "mm_media_metadata": lambda sf: mm.media_metadata(sf),
-        "mm_byte_histogram": lambda sf: mm.byte_histogram(sf),
+        # wide (one int64 col per bin) so the value hash is SQL-comparable;
+        # the list-column form is the library surface (mm.byte_histogram)
+        "mm_byte_histogram": lambda sf: mm.byte_histogram_wide(sf),
         # oracle-comparable projection (drops the binary frame payload, which
         # SQL can't reproduce); the full frame layout is pytest-covered
         "mm_frame_sample": lambda sf: mm.frame_sample_meta(sf),
@@ -104,11 +106,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dd.ngram_jaccard_sql(
             cfg.jaccard_threshold, cfg.shingle_size
         ),
-        # dedup_minhash_lsh / dedup_simhash / text_lang_id / emb_neardup_lsh /
-        # mm_byte_histogram: probabilistic, binary-payload, or
-        # non-SQL-expressible -> rows-only check
+        # dedup_minhash_lsh / dedup_simhash / text_lang_id / emb_neardup_lsh:
+        # probabilistic or non-SQL-expressible -> rows-only check
         "dedup_clusters": cz.canonicalize_sql(cfg.jaccard_threshold, cfg.shingle_size),
         "mm_frame_sample": mm.FRAME_SAMPLE_SQL,
+        "mm_byte_histogram": mm.BYTE_HISTOGRAM_SQL,
         "text_quality": tx.TEXT_QUALITY_SQL,
         "text_fingerprints": tx.FINGERPRINTS_SQL,
         "text_token_counts": tx.TOKEN_COUNTS_SQL,

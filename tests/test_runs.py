@@ -94,6 +94,36 @@ class TestRuns:
         assert ckpt.read_cursor(root) == mans[2].checkpoint
         assert mans[1].checkpoint < mans[2].checkpoint
 
+    def test_snapshot_checkpoint_sync(self, tmp_path):
+        """Snapshot-backed sync: run_dump materializes the quad set, run_sync
+        diffs against the STORED snapshot (no recompute of the prior crawl)
+        and produces the exact same changelog as the recompute path; the
+        SNAPSHOT pointer advances; manifests carry throughput metrics."""
+        plain, snap = str(tmp_path / "plain"), str(tmp_path / "snap")
+        snaps = str(tmp_path / "snapshots")
+
+        m_plain = runs.run_dump(SF_SMALL, plain, epoch="E1", cfg=CFG)
+        runs.run_sync(SF_SMALL, plain, checkpoint="20240101010101", cfg=CFG)
+
+        m_snap = runs.run_dump(SF_SMALL, snap, epoch="E1", cfg=CFG, snapshot_root=snaps)
+        assert m_snap.quad_count == m_plain.quad_count
+        with open(os.path.join(snaps, "SNAPSHOT")) as f:
+            assert f.read().strip() == "at-" + TS14_ZERO
+        s1 = runs.run_sync(
+            SF_SMALL, snap, checkpoint="20240101010101", cfg=CFG, snapshot_root=snaps
+        )
+        with open(os.path.join(snaps, "SNAPSHOT")) as f:
+            assert f.read().strip() == "at-20240101010101"
+        # identical changelog vs the recompute path (same files, same md5s)
+        p_files = {
+            (f.name, f.md5) for f in load_manifest(plain).files if "20240101010101" in f.name
+        }
+        s_files = {
+            (f.name, f.md5) for f in load_manifest(snap).files if "20240101010101" in f.name
+        }
+        assert p_files == s_files and p_files
+        assert s1.elapsed_s > 0 and s1.quads_per_sec >= 0
+
     def test_roundtrip_read_back(self, tmp_path):
         """write_rdfpatch -> read_rdfpatch reproduces the quad multiset
         (publication-surface round-trip; apply() semantics live in

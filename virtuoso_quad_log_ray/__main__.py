@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--interval", type=float, default=60.0, help="seconds between runs")
     r.add_argument("--max-runs", type=int, default=None, help="stop after N runs (default: forever)")
     r.add_argument("--epoch", default=None)
+    r.add_argument(
+        "--snapshot-root",
+        default=None,
+        help="dir for materialized quad-set checkpoints; syncs diff against "
+        "the stored snapshot instead of recomputing the prior crawl",
+    )
 
     v = sub.add_parser("validate", help="startup checks only")
     v.add_argument("--sf", required=True)
@@ -120,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
                 interval_s=args.interval,
                 max_runs=args.max_runs,
                 epoch=args.epoch,
+                snapshot_root=args.snapshot_root,
             )
             for man in mans:
                 print(

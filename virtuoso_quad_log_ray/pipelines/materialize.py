@@ -65,6 +65,9 @@ def materialize_quads(
     """quads (s, p, o, g) -> ``out_root/bucket=K/part.parquet`` sorted
     adjacency partitions + committed manifest. Skips buckets already in a
     committed manifest with the same epoch (per-partition resume)."""
+    import time as _time
+
+    t_run0 = _time.perf_counter()
     os.makedirs(out_root, exist_ok=True)
     prev = load_manifest(out_root)
     done: set[str] = (
@@ -112,22 +115,29 @@ def materialize_quads(
         (FileEntry(r["name"], "", int(r["amount"]), "", 0) for r in meta),
         key=lambda e: e.name,
     )
+    elapsed = _time.perf_counter() - t_run0
+    quad_count = sum(e.amount for e in files)
     manifest = RunManifest(
         epoch=epoch,
         checkpoint="",
         kind="materialize",
-        quad_count=sum(e.amount for e in files),
+        quad_count=quad_count,
         file_count=len(files),
         files=files,
+        elapsed_s=round(elapsed, 3),
+        quads_per_sec=round(quad_count / elapsed, 1) if elapsed > 0 else 0.0,
     )
     commit_manifest(out_root, manifest)
     return manifest
 
 
 def read_materialized(out_root: str) -> ray.data.Dataset:
-    """Committed adjacency partitions -> quad Dataset (manifest-listed)."""
+    """Committed adjacency partitions -> quad Dataset (manifest-listed).
+
+    Explicit columns= keeps the hive-style ``bucket=K`` directory from being
+    inferred back as a partition column (it is layout, not data)."""
     manifest = load_manifest(out_root)
     if manifest is None:
         raise FileNotFoundError(f"no committed manifest under {out_root}")
     paths = [os.path.join(out_root, e.name) for e in manifest.files]
-    return ray.data.read_parquet(paths)
+    return ray.data.read_parquet(paths, columns=["s", "p", "o", "g"])

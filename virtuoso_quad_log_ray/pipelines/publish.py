@@ -85,6 +85,9 @@ def write_rdfpatch(
     from virtuoso_quad_log_ray.pipelines.materialize import _bucket_of
     from virtuoso_quad_log_ray.stages.shuffle import cluster_cpus
 
+    import time as _time
+
+    t_run0 = _time.perf_counter()
     maxq = cfg.max_quads_per_file
     nb = n_buckets or max(16, cluster_cpus() * 2)
     os.makedirs(out_root, exist_ok=True)
@@ -154,6 +157,7 @@ def write_rdfpatch(
     files = [FileEntry(r["name"], r["graph"], int(r["amount"]), r["md5"], int(r["length"])) for r in meta]
     files.sort(key=lambda e: e.name)
     quad_count = sum(e.amount for e in files)
+    elapsed = _time.perf_counter() - t_run0
     manifest = RunManifest(
         epoch=epoch,
         checkpoint=checkpoint,
@@ -165,6 +169,8 @@ def write_rdfpatch(
         total_quads=(prev.total_quads if prev else 0) + quad_count,
         total_files=(prev.total_files if prev else 0) + len(files),
         files=(prev.files if prev else []) + files,
+        elapsed_s=round(elapsed, 3),
+        quads_per_sec=round(quad_count / elapsed, 1) if elapsed > 0 else 0.0,
     )
     commit_manifest(out_root, manifest)
     return manifest

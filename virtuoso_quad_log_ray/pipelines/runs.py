@@ -42,6 +42,65 @@ def _with_op(quads: ray.data.Dataset, op: str) -> ray.data.Dataset:
     return quads.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ---------------------------------------------------------------------------
+# Snapshot checkpoints (north_star: "resumable from per-partition
+# checkpoints"): each run can persist its canonical quad set as the bucketed
+# sorted-Parquet layout (pipelines/materialize.py), and the next sync diffs
+# against the STORED prior snapshot instead of recomputing it from source —
+# at 100 TB recomputing the previous crawl's extraction is not an option.
+# Layout: <snapshot_root>/at-<ts14>/bucket=K/part.parquet + a SNAPSHOT
+# pointer file (atomic rename) naming the current snapshot dir; the two most
+# recent snapshots are retained for rollback, older ones pruned.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_POINTER = "SNAPSHOT"
+
+
+def _snapshot_dir(root: str, checkpoint: str) -> str:
+    import os
+
+    return os.path.join(root, f"at-{checkpoint}")
+
+
+def read_snapshot(root: str) -> ray.data.Dataset | None:
+    """Quad Dataset of the current committed snapshot, or None."""
+    import os
+
+    from virtuoso_quad_log_ray.pipelines.materialize import read_materialized
+
+    ptr = os.path.join(root, SNAPSHOT_POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    return read_materialized(os.path.join(root, name))
+
+
+def write_snapshot(root: str, quads: ray.data.Dataset, *, checkpoint: str, epoch: str):
+    """Materialize a quad set as the snapshot at ``checkpoint``; swing the
+    pointer only after the materialize manifest commits; prune all but the
+    two most recent snapshots."""
+    import os
+
+    from virtuoso_quad_log_ray.pipelines.materialize import materialize_quads
+
+    os.makedirs(root, exist_ok=True)
+    name = f"at-{checkpoint}"
+    man = materialize_quads(quads, os.path.join(root, name), epoch=epoch)
+    tmp = os.path.join(root, SNAPSHOT_POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, SNAPSHOT_POINTER))
+    snaps = sorted(d for d in os.listdir(root) if d.startswith("at-"))
+    for stale in snaps[:-2]:
+        import shutil
+
+        shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+    return man
+
+
 def run_dump(
     sf_dir: str,
     out_root: str,
@@ -49,6 +108,7 @@ def run_dump(
     epoch: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
     version: int = 1,
+    snapshot_root: str | None = None,
 ) -> RunManifest:
     """Initial full dump: all quads as '+' records at checkpoint 0.
 
@@ -71,7 +131,14 @@ def run_dump(
             ckpt.write_cursor(out_root, TS14_ZERO)
         return existing
     probe = snapshot_probe(sf_dir)
-    quads = _with_op(quads_version(sf_dir, version, cfg), "+")
+    quad_set = quads_version(sf_dir, version, cfg)
+    if snapshot_root is not None:
+        # checkpoint the canonical quad set FIRST (one extraction pass),
+        # then feed the patch write from the stored snapshot — the next
+        # sync diffs against storage, never a recomputation of this crawl
+        write_snapshot(snapshot_root, quad_set, checkpoint=TS14_ZERO, epoch=epoch)
+        quad_set = read_snapshot(snapshot_root)
+    quads = _with_op(quad_set, "+")
     manifest = write_rdfpatch(
         quads,
         out_root,
@@ -101,12 +168,15 @@ def run_sync(
     cfg: EngineConfig = DEFAULT_CONFIG,
     prev_version: int = 1,
     new_version: int = 2,
+    snapshot_root: str | None = None,
 ) -> RunManifest:
     """One incremental sync: +/- changelog between the prev and current
     snapshots, appended to the sink under the new checkpoint ts.
 
     Requires a committed dump (cursor present — parse_trx_logs cursor gate,
-    generate-rdfpatch.sh:348-351).
+    generate-rdfpatch.sh:348-351). With ``snapshot_root`` the PREV side is
+    the stored snapshot checkpoint (no recomputation of the prior crawl),
+    and the new state is checkpointed before the diff.
     """
     from virtuoso_quad_log_ray.state.validate import validate_input, validate_sink
 
@@ -118,11 +188,21 @@ def run_sync(
     if checkpoint <= cursor:
         raise RuntimeError(f"checkpoint {checkpoint} not after cursor {cursor}")
     prev_manifest = load_manifest(out_root)
-    log = diff_quads(
-        quads_version(sf_dir, prev_version, cfg),
-        quads_version(sf_dir, new_version, cfg),
-        cfg,
-    )
+    new_quads = quads_version(sf_dir, new_version, cfg)
+    prev_quads = None
+    if snapshot_root is not None:
+        prev_quads = read_snapshot(snapshot_root)
+        if prev_quads is not None:
+            write_snapshot(
+                snapshot_root,
+                new_quads,
+                checkpoint=checkpoint,
+                epoch=ckpt.read_epoch(out_root) or "",
+            )
+            new_quads = read_snapshot(snapshot_root)
+    if prev_quads is None:
+        prev_quads = quads_version(sf_dir, prev_version, cfg)
+    log = diff_quads(prev_quads, new_quads, cfg)
     manifest = write_rdfpatch(
         log,
         out_root,
@@ -152,6 +232,7 @@ def run_loop(
     epoch: str | None = None,
     current_version: int = 2,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    snapshot_root: str | None = None,
     sleep=None,
     now=None,
 ) -> list[RunManifest]:
@@ -183,7 +264,12 @@ def run_loop(
         cursor = ckpt.read_cursor(out_root)
         if cursor is None:
             man = run_dump(
-                sf_dir, out_root, epoch=epoch or ts14(now()), cfg=cfg, version=1
+                sf_dir,
+                out_root,
+                epoch=epoch or ts14(now()),
+                cfg=cfg,
+                version=1,
+                snapshot_root=snapshot_root,
             )
         else:
             prev = load_manifest(out_root)
@@ -195,6 +281,7 @@ def run_loop(
                 cfg=cfg,
                 prev_version=prev_version,
                 new_version=current_version,
+                snapshot_root=snapshot_root,
             )
         manifests.append(man)
         i += 1

@@ -131,6 +131,42 @@ def byte_histogram(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.
     )
 
 
+def byte_histogram_wide(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """byte_histogram with the 16-bin feature list flattened to one int64
+    column per bin (bin_00..bin_15) — the oracle-comparable surface (the
+    driver's value hash can't compare list columns to SQL)."""
+    from virtuoso_quad_log_ray.numerics import list_matrix
+
+    ds = byte_histogram(sf_dir, cfg)
+    n_bins = ByteHistogram.N_BINS
+
+    def widen(b: pa.Table) -> pa.Table:
+        m = list_matrix(b["byte_hist"], n_bins, np.int64)
+        cols: dict = {"url": b["url"]}
+        for k in range(n_bins):
+            cols[f"bin_{k:02d}"] = pa.array(m[:, k])
+        return pa.table(cols)
+
+    return ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Oracle for the 16-bin histogram. DuckDB's ord() yields code points while
+# the engine bins BYTES — identical on the all-ASCII synthesized corpus
+# (same caveat as FRAME_SAMPLE_SQL; the engine is the byte-true side).
+BYTE_HISTOGRAM_SQL = (
+    "WITH " + PAGES_SQL_CTE + ",\n"
+    "b AS (SELECT url, " + "_HTML_EXPR_" + " AS h FROM pages),\n"
+    "pos AS (SELECT url, h, unnest(range(1, length(h) + 1)) AS i FROM b),\n"
+    "bins AS (SELECT url, ord(substring(h, CAST(i AS BIGINT), 1)) // 16 AS bin FROM pos)\n"
+    "SELECT url,\n"
+    + ",\n".join(
+        f"  CAST(sum(CASE WHEN bin = {k} THEN 1 ELSE 0 END) AS BIGINT) AS bin_{k:02d}"
+        for k in range(ByteHistogram.N_BINS)
+    )
+    + "\nFROM bins GROUP BY url"
+).replace("_HTML_EXPR_", _HTML_EXPR)
+
+
 FRAME_SIZE = 4096  # bytes per pseudo-frame
 FRAME_STRIDE = 4  # sample every 4th frame
 

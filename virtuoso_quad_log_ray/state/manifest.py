@@ -47,6 +47,11 @@ class RunManifest:
     total_quads: int = 0  # running totals across runs (A3 counters)
     total_files: int = 0
     files: list[FileEntry] = field(default_factory=list)
+    # lineage + throughput metrics (north_star: "resumable from
+    # per-partition checkpoints with lineage and throughput metrics");
+    # defaults keep pre-metric manifests loadable.
+    elapsed_s: float = 0.0
+    quads_per_sec: float = 0.0
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=1, sort_keys=True)
