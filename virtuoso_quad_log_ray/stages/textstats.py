@@ -273,43 +273,101 @@ def winnow_fingerprints(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.
     window -> a sparse, position-robust fingerprint set per document.
 
     Output: (url, n_fingerprints, fp_xor) — the selected-hash count and
-    their XOR (an order-free digest of the set), deterministic. The rolling
-    hash is numpy-vectorized: hashes for ALL k-gram positions come from a
-    cumulative polynomial recurrence, window minima from a strided view.
-    Rows-only check (the rolling recurrence is not SQL-expressible).
+    their XOR (an order-free digest of the set), deterministic. Vectorized
+    over the WHOLE BATCH: one rolling-hash pass over the concatenated UTF-8
+    buffer (cross-document k-grams masked out), one strided-view window
+    minimum, one global (doc, hash) distinct + segment XOR — no per-document
+    Python loop. Rows-only check (not SQL-expressible).
     """
     pages = read_pages(sf_dir, include_html=False)
 
     def fp(batch: pa.Table) -> pa.Table:
-        out_n, out_xor = [], []
-        for text in batch["text"].to_pylist():
-            data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            m = len(data) - WINNOW_K + 1
-            if m < 1:
-                out_n.append(0)
-                out_xor.append(0)
-                continue
-            # polynomial hash of every k-gram, fully vectorized: k=8
-            # multiply-adds over shifted views (mod 2^64 = natural uint64
-            # wraparound) — no per-position Python loop
-            h = np.zeros(m, dtype=np.uint64)
-            for j in range(WINNOW_K):
-                coef = np.uint64(pow(257, WINNOW_K - 1 - j, 1 << 64))
-                h += data[j : j + m] * coef
-            if m <= WINNOW_W:
-                sel = np.array([h.min()], dtype=np.uint64)
-            else:
-                win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
-                sel = np.unique(win.min(axis=1))
-            out_n.append(int(len(sel)))
-            x = np.uint64(0)
-            for v in sel:
-                x ^= v
-            out_xor.append(int(x))
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_docs = len(text)
+        if n_docs == 0:
+            return pa.table(
+                {
+                    "url": batch["url"],
+                    "n_fingerprints": pa.array([], type=pa.int64()),
+                    "fp_xor": pa.array([], type=pa.uint64()),
+                }
+            )
+        # WHOLE-BATCH vectorization over the concatenated UTF-8 buffer (no
+        # per-document Python loop): rolling hashes for every k-gram
+        # position, invalid cross-document k-grams masked to uint64-max so
+        # they never win a window minimum, per-window minima from one
+        # strided view, then one global (doc, hash) unique + segment XOR.
+        offs = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+            text.offset : text.offset + n_docs + 1
+        ].astype(np.int64)
+        data = np.frombuffer(text.buffers()[2], dtype=np.uint8)[
+            offs[0] : offs[-1]
+        ].astype(np.uint64)
+        offs = offs - offs[0]
+        lengths = np.diff(offs)
+        total = len(data)
+        K, W = WINNOW_K, WINNOW_W
+        MAXU = np.uint64(0xFFFFFFFFFFFFFFFF)
+        m_tot = total - K + 1
+        sel_doc_parts, sel_hash_parts = [], []
+        if m_tot >= 1:
+            doc_of_byte = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+            h = np.zeros(m_tot, dtype=np.uint64)
+            for j in range(K):
+                coef = np.uint64(pow(257, K - 1 - j, 1 << 64))
+                h += data[j : j + m_tot] * coef
+            # k-gram valid iff it does not cross a document boundary
+            kg_doc = doc_of_byte[:m_tot]
+            kg_valid = kg_doc == doc_of_byte[K - 1 : K - 1 + m_tot]
+            h = np.where(kg_valid, h, MAXU)
+            if m_tot >= W:
+                win = np.lib.stride_tricks.sliding_window_view(h, W)
+                # window valid iff first and last k-gram are valid AND in
+                # the same document (then every k-gram between is too)
+                first_d, last_d = kg_doc[: m_tot - W + 1], kg_doc[W - 1 :]
+                w_valid = (
+                    (first_d == last_d)
+                    & kg_valid[: m_tot - W + 1]
+                    & kg_valid[W - 1 :]
+                )
+                if w_valid.any():
+                    sel_doc_parts.append(first_d[w_valid])
+                    sel_hash_parts.append(win.min(axis=1)[w_valid])
+            # short docs (1 <= m_doc <= W): no full window fits — the
+            # selected set is the doc's single global minimum
+            m_doc = lengths - K + 1
+            short = np.flatnonzero((m_doc >= 1) & (m_doc <= W))
+            if len(short):
+                # per-doc min over that doc's k-gram range via reduceat
+                starts = offs[short]
+                # gather each short doc's h segment min (segments are small)
+                mins = np.array(
+                    [h[s : s + m].min() for s, m in zip(starts, m_doc[short])],
+                    dtype=np.uint64,
+                )
+                ok = mins != MAXU
+                sel_doc_parts.append(short[ok])
+                sel_hash_parts.append(mins[ok])
+        out_n = np.zeros(n_docs, dtype=np.int64)
+        out_xor = np.zeros(n_docs, dtype=np.uint64)
+        if sel_doc_parts:
+            sd = np.concatenate(sel_doc_parts)
+            sh = np.concatenate(sel_hash_parts)
+            # global distinct (doc, hash) then per-doc count + XOR
+            order = np.lexsort((sh, sd))
+            sd, sh = sd[order], sh[order]
+            keep = np.ones(len(sd), dtype=bool)
+            keep[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+            sd, sh = sd[keep], sh[keep]
+            present, starts_ = np.unique(sd, return_index=True)
+            out_n[present] = np.diff(np.append(starts_, len(sd)))
+            out_xor[present] = np.bitwise_xor.reduceat(sh, starts_)
         return pa.table(
             {
                 "url": batch["url"],
-                "n_fingerprints": pa.array(out_n, type=pa.int64()),
+                "n_fingerprints": pa.array(out_n),
                 "fp_xor": pa.array(out_xor, type=pa.uint64()),
             }
         )
