@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("materialize", help="canonical quads -> sorted Parquet partitions")
     m.add_argument("--sf", required=True)
     m.add_argument("--out", required=True)
-    m.add_argument("--buckets", type=int, default=64)
+    m.add_argument("--buckets", type=int, default=None, help="default: adaptive (16/CPU)")
     m.add_argument("--epoch", default=None)
 
     r = sub.add_parser(

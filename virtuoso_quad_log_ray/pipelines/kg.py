@@ -183,11 +183,10 @@ def chunk_plan(
     global sort (the reference's ORDER BY ?g, dump_nquads.sql:49, is
     unnecessary under hashing).
     """
-    from virtuoso_quad_log_ray.pipelines.materialize import _bucket_of
-    from virtuoso_quad_log_ray.stages.shuffle import cluster_cpus
+    from virtuoso_quad_log_ray.pipelines.materialize import _bucket_of, default_n_buckets
 
     maxq = max_quads_per_file or cfg.max_quads_per_file
-    nb = n_buckets or max(16, cluster_cpus() * 2)
+    nb = n_buckets or default_n_buckets()
 
     def keyed(b: pa.Table) -> pa.Table:
         return b.append_column("bucket", _bucket_of(b["g"], nb))

@@ -80,16 +80,15 @@ def write_rdfpatch(
     split-graphs.sh:73-141) is unchanged; for graph spaces of corpus
     cardinality prefer pipelines/materialize.py's bucketed Parquet layout.
     """
+    import time as _time
+
     import numpy as np
 
-    from virtuoso_quad_log_ray.pipelines.materialize import _bucket_of
-    from virtuoso_quad_log_ray.stages.shuffle import cluster_cpus
-
-    import time as _time
+    from virtuoso_quad_log_ray.pipelines.materialize import _bucket_of, default_n_buckets
 
     t_run0 = _time.perf_counter()
     maxq = cfg.max_quads_per_file
-    nb = n_buckets or max(16, cluster_cpus() * 2)
+    nb = n_buckets or default_n_buckets()
     os.makedirs(out_root, exist_ok=True)
 
     def keyed(b: pa.Table) -> pa.Table:
