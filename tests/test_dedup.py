@@ -59,3 +59,49 @@ class TestDedup:
         # every exact mirror clone pair must appear with hamming 0
         zero = [h for h in pairs.values() if h == 0]
         assert len(zero) >= 20
+
+
+class TestBucketAggregate:
+    """shuffle.bucket_aggregate — the vectorized-combine groupby primitive
+    every pair phase rides — must agree with a plain pyarrow group_by."""
+
+    def test_matches_arrow_groupby(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate
+
+        rng = np.random.RandomState(11)
+        n = 20_000
+        k1 = rng.randint(-50, 50, size=n).astype(np.int64)  # incl. negatives
+        k2 = rng.randint(0, 7, size=n).astype(np.int64)
+        val = rng.randint(0, 1000, size=n).astype(np.int64)
+        tag = np.array([f"u{v:04d}" for v in rng.randint(0, 500, size=n)])
+        t = pa.table(
+            {"k1": k1, "k2": k2, "val": val, "tag": pa.array(tag.tolist())}
+        )
+        expect = (
+            t.group_by(["k1", "k2"])
+            .aggregate([("val", "sum"), ("tag", "min"), ("val", "count")])
+            .sort_by([("k1", "ascending"), ("k2", "ascending")])
+        )
+        ds = ray.data.from_arrow(t).repartition(13)  # many blocks, partials combine
+        got_ds = bucket_aggregate(
+            ds, ["k1", "k2"], [("val", "sum"), ("tag", "min"), ("val", "count")]
+        )
+        import ray as _ray
+
+        got = (
+            pa.concat_tables(
+                [
+                    x
+                    for x in (_ray.get(r) for r in got_ds.to_arrow_refs())
+                    if x.num_columns
+                ]
+            )
+            .combine_chunks()
+            .select(expect.column_names)
+            .sort_by([("k1", "ascending"), ("k2", "ascending")])
+        )
+        assert got.equals(expect)
