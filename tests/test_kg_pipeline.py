@@ -96,3 +96,41 @@ def test_chunk_plan_respects_maxq():
     assert pc.max(counts["s_count"]).as_py() <= 5
     # hot-graph multi-file: at least one graph must have chunked into >1 file
     assert pc.max(plan["file_seq"]).as_py() >= 1
+
+
+class TestRealPagesInput:
+    """The input_hint contract: the engine must run over an ACTUAL pages
+    Parquet table (url, warc_ts, html, text, lang), not only the sandbox's
+    synthesized documents. Round-trip: persist the synthesized pages as a
+    real pages.parquet, read it back via read_pages_parquet, and assert the
+    source-agnostic pipeline yields the identical quad set."""
+
+    def test_quads_from_real_pages_parquet(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray
+
+        from virtuoso_quad_log_ray.sources.pages import read_pages, read_pages_parquet
+
+        pages_tbl = to_arrow(read_pages(SF_SMALL, include_html=True))
+        path = str(tmp_path / "pages.parquet")
+        pq.write_table(pages_tbl, path)
+
+        real = read_pages_parquet(path, include_html=True)
+        got = to_arrow(kg.quads_from_pages(real)).sort_by(
+            [(c, "ascending") for c in ("s", "p", "o", "g")]
+        )
+        expect = to_arrow(kg.build_quads(SF_SMALL)).sort_by(
+            [(c, "ascending") for c in ("s", "p", "o", "g")]
+        )
+        assert got.equals(expect) and len(got) > 0
+
+    def test_read_pages_parquet_prunes_html(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from virtuoso_quad_log_ray.sources.pages import read_pages, read_pages_parquet
+
+        path = str(tmp_path / "pages.parquet")
+        pq.write_table(to_arrow(read_pages(SF_SMALL, include_html=True)), path)
+        ds = read_pages_parquet(path, include_html=False)
+        assert "html" not in ds.schema().names  # pruned AT THE READ
+        assert "warc_ts" in ds.schema().names

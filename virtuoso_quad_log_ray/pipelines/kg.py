@@ -81,15 +81,17 @@ def sql_with_pages(body: str, extra_cte: str = "") -> str:
 # ---------------------------------------------------------------------------
 
 
-def build_quads(
-    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, *, from_html: bool = True
+def quads_from_pages(
+    pages: ray.data.Dataset, cfg: EngineConfig = DEFAULT_CONFIG, *, from_html: bool = True
 ) -> ray.data.Dataset:
-    """Full extraction pipeline: pages -> (s, p, o, g) quads.
+    """pages Dataset (url, warc_ts, [html,] text, lang) -> (s, p, o, g)
+    quads — the source-agnostic extraction pipeline. Feed it either the
+    sandbox's synthesized pages (``read_pages``) or a REAL pages Parquet
+    table (``sources.pages.read_pages_parquet``, the input_hint schema).
 
     ``from_html=True`` runs the real path (html -> text extraction first);
     the html column never survives past the first stage.
     """
-    pages = read_pages(sf_dir, include_html=from_html)
     if from_html:
         pages = extract_text(pages, batch_size=cfg.pages_batch_size)
     quads = extract_triples(pages, batch_size=cfg.quads_batch_size)
@@ -104,6 +106,15 @@ def build_quads(
             zero_copy_batch=True,
         )
     return quads
+
+
+def build_quads(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, *, from_html: bool = True
+) -> ray.data.Dataset:
+    """Full extraction pipeline over the sandbox sf_dir (synthesized pages);
+    see ``quads_from_pages`` for the source-agnostic form."""
+    pages = read_pages(sf_dir, include_html=from_html)
+    return quads_from_pages(pages, cfg, from_html=from_html)
 
 
 QUADS_SQL = sql_with_pages("SELECT s, p, o, g FROM quads", QUADS_SQL_CTE)

@@ -110,6 +110,30 @@ def _synth_batch(batch: pa.Table) -> pa.Table:
     return out.cast(PAGES_SCHEMA)
 
 
+def read_pages_parquet(
+    path: str, *, include_html: bool = True, num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """Read a REAL pages Parquet table/directory with the authoritative
+    input schema ``(url, warc_ts, html, text, lang)`` (BASELINE.json
+    input_hint) — the production entrypoint when the corpus already exists
+    as pages rather than the sandbox's synthesized documents.
+
+    Column-pruned at the read (html is only loaded when the pipeline starts
+    from raw html); block count forced wide so a few large files still
+    parallelize the extraction chain.
+    """
+    from virtuoso_quad_log_ray.stages.shuffle import cluster_cpus
+
+    cols = ["url", "warc_ts", "text", "lang"]
+    if include_html:
+        cols.insert(2, "html")
+    return ray.data.read_parquet(
+        path,
+        columns=cols,
+        override_num_blocks=num_blocks or max(16, cluster_cpus() * 2),
+    )
+
+
 def read_pages(
     sf_dir: str, *, include_html: bool = True, replicate: int = 1
 ) -> ray.data.Dataset:
