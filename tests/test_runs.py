@@ -196,3 +196,68 @@ class TestValidation:
         a.assert_unchanged(SnapshotProbe(n_rows=10, max_doc_id=9))  # ok
         with pytest.raises(ValidationError):
             a.assert_unchanged(SnapshotProbe(n_rows=11, max_doc_id=10))
+
+
+class TestRealPagesRuns:
+    """Production loop over a real pages table: dump checkpoints the quad
+    set, sync re-extracts the CURRENT table and diffs against the stored
+    snapshot (no recompute of the prior crawl)."""
+
+    def test_dump_then_sync_over_mutated_pages(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from virtuoso_quad_log_ray.rdfpatch import TS14_ZERO
+        from virtuoso_quad_log_ray.sources.pages import read_pages
+
+        pages = (
+            __import__("tests.conftest", fromlist=["to_arrow"]).to_arrow(
+                read_pages(SF_SMALL, include_html=True)
+            )
+        )
+        path = str(tmp_path / "pages.parquet")
+        pq.write_table(pages, path)
+        sink = str(tmp_path / "sink")
+        snaps = str(tmp_path / "snaps")
+
+        m0 = runs.run_dump_pages(path, sink, epoch="E1", cfg=CFG, snapshot_root=snaps)
+        assert m0.kind == "dump" and m0.quad_count > 0
+        assert ckpt.read_cursor(sink) == TS14_ZERO
+
+        # mutate the source: drop one page, change another's text
+        urls = pages["url"].to_pylist()
+        keep = pc.not_equal(pages["url"], urls[0])
+        mutated = pages.filter(keep)
+        text = pc.if_else(
+            pc.equal(mutated["url"], urls[1]),
+            pc.binary_join_element_wise(mutated["text"], " changed", ""),
+            mutated["text"],
+        )
+        mutated = mutated.set_column(
+            mutated.schema.get_field_index("text"), "text", text
+        )
+        pq.write_table(mutated, path)
+
+        m1 = runs.run_sync_pages(
+            path, sink, checkpoint="20250101000000", snapshot_root=snaps, cfg=CFG
+        )
+        assert m1.kind == "sync" and m1.quad_count > 0  # deletions + changes
+        assert ckpt.read_cursor(sink) == "20250101000000"
+        # the changelog must contain '-' records for the dropped page's quads
+        sync_files = [f for f in m1.files if "20250101000000" in f.name]
+        ops = set()
+        for fe in sync_files[:20]:
+            import os as _os
+
+            with open(_os.path.join(sink, fe.name)) as fh:
+                rows, _ = parse_patch_text(fh.read())
+            ops.update(r["op"] for r in rows)
+        assert "-" in ops
+
+        # unchanged re-poll: empty changelog, cursor still advances
+        m2 = runs.run_sync_pages(
+            path, sink, checkpoint="20250101000001", snapshot_root=snaps, cfg=CFG
+        )
+        assert m2.quad_count == 0
+        assert ckpt.read_cursor(sink) == "20250101000001"

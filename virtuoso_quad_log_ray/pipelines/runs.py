@@ -217,6 +217,145 @@ def run_sync(
     return manifest
 
 
+# ---------------------------------------------------------------------------
+# Production loop over a REAL pages table (input_hint schema): the dump
+# checkpoints the canonical quad set; every sync re-extracts the CURRENT
+# table and diffs it against the stored snapshot — the prior crawl is never
+# recomputed. These are the quad-set-generic forms of run_dump/run_sync
+# (which keep the sandbox's deterministic v1/v2 snapshot-pair semantics).
+# ---------------------------------------------------------------------------
+
+
+def run_dump_quads(
+    quad_set: ray.data.Dataset,
+    out_root: str,
+    *,
+    epoch: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    snapshot_root: str | None = None,
+    last_source: str = "",
+) -> RunManifest:
+    """Initial dump of an arbitrary quad Dataset (idempotent, T1/T2/T5
+    semantics identical to run_dump)."""
+    from virtuoso_quad_log_ray.state.validate import validate_sink
+
+    validate_sink(out_root)
+    existing = load_manifest(out_root)
+    if existing is not None and existing.kind == "dump":
+        if ckpt.read_epoch(out_root) is None:
+            ckpt.write_epoch(out_root, existing.epoch)
+        if ckpt.read_cursor(out_root) is None:
+            ckpt.write_cursor(out_root, TS14_ZERO)
+        return existing
+    if snapshot_root is not None:
+        write_snapshot(snapshot_root, quad_set, checkpoint=TS14_ZERO, epoch=epoch)
+        quad_set = read_snapshot(snapshot_root)
+    manifest = write_rdfpatch(
+        _with_op(quad_set, "+"),
+        out_root,
+        epoch=epoch,
+        checkpoint=TS14_ZERO,
+        kind="dump",
+        cfg=cfg,
+        run_index=0,
+        last_source=last_source,
+    )
+    ckpt.write_epoch(out_root, epoch)
+    ckpt.write_cursor(out_root, TS14_ZERO)
+    return manifest
+
+
+def run_sync_quads(
+    new_quads: ray.data.Dataset,
+    out_root: str,
+    *,
+    checkpoint: str,
+    snapshot_root: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    last_source: str = "",
+) -> RunManifest:
+    """Incremental sync of an arbitrary quad Dataset against the STORED
+    snapshot (snapshot_root is required — there is no recompute fallback
+    for a mutable real-world source)."""
+    from virtuoso_quad_log_ray.state.validate import validate_sink
+
+    validate_sink(out_root)
+    cursor = ckpt.read_cursor(out_root)
+    if cursor is None:
+        raise RuntimeError("no dump committed yet: run_dump_quads first")
+    if checkpoint <= cursor:
+        raise RuntimeError(f"checkpoint {checkpoint} not after cursor {cursor}")
+    prev_quads = read_snapshot(snapshot_root)
+    if prev_quads is None:
+        raise RuntimeError("no snapshot checkpoint: dump with snapshot_root first")
+    prev_manifest = load_manifest(out_root)
+    write_snapshot(
+        snapshot_root,
+        new_quads,
+        checkpoint=checkpoint,
+        epoch=ckpt.read_epoch(out_root) or "",
+    )
+    log = diff_quads(prev_quads, read_snapshot(snapshot_root), cfg)
+    manifest = write_rdfpatch(
+        log,
+        out_root,
+        epoch=ckpt.read_epoch(out_root) or "",
+        checkpoint=checkpoint,
+        kind="sync",
+        cfg=cfg,
+        run_index=(prev_manifest.run_index + 1) if prev_manifest else 1,
+        last_source=last_source,
+    )
+    ckpt.write_cursor(out_root, checkpoint)
+    return manifest
+
+
+def _pages_quads(pages_path: str, cfg: EngineConfig) -> ray.data.Dataset:
+    from virtuoso_quad_log_ray.pipelines.kg import quads_from_pages
+    from virtuoso_quad_log_ray.sources.pages import read_pages_parquet
+
+    return quads_from_pages(read_pages_parquet(pages_path), cfg)
+
+
+def run_dump_pages(
+    pages_path: str,
+    out_root: str,
+    *,
+    epoch: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    snapshot_root: str | None = None,
+) -> RunManifest:
+    """Initial dump over a REAL pages Parquet table (input_hint schema)."""
+    return run_dump_quads(
+        _pages_quads(pages_path, cfg),
+        out_root,
+        epoch=epoch,
+        cfg=cfg,
+        snapshot_root=snapshot_root,
+        last_source=pages_path,
+    )
+
+
+def run_sync_pages(
+    pages_path: str,
+    out_root: str,
+    *,
+    checkpoint: str,
+    snapshot_root: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> RunManifest:
+    """Incremental sync: re-extract the CURRENT pages table, diff against
+    the stored snapshot, publish the +/- changelog, advance the cursor."""
+    return run_sync_quads(
+        _pages_quads(pages_path, cfg),
+        out_root,
+        checkpoint=checkpoint,
+        snapshot_root=snapshot_root,
+        cfg=cfg,
+        last_source=pages_path,
+    )
+
+
 def _version_of(last_source: str) -> int:
     """'<sf_dir>#vN' -> N (the snapshot version a committed run last saw)."""
     _, _, tag = last_source.rpartition("#v")
