@@ -258,11 +258,28 @@ def latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
 
     partial = ev.map_batches(partial_latest, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(group: pa.Table) -> pa.Table:
+    # Merge phase: bucket on user_id % nb and resolve EVERY user in a bucket
+    # with one vectorized sort + segment-first — never map_groups over
+    # millions of single-user groups (the chunk_plan scale-killer pattern).
+    nb = _merge_buckets()
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("_pk", pa.array(uid % nb))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
-            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
+            group,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "descending"),
+                ("event_id", "descending"),
+            ],
         )
-        t = group.take(idx).slice(0, 1)
+        t = group.take(idx)
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        first = np.unique(users, return_index=True)[1]  # ascending users ->
+        t = t.take(pa.array(np.sort(first)))  # first row per user = latest
         return pa.table(
             {
                 "user_id": pc.cast(t["user_id"], pa.int64()),
@@ -272,7 +289,19 @@ def latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return partial.groupby("user_id").map_groups(merge, batch_format="pyarrow")
+    return (
+        partial.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pk")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
+def _merge_buckets() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(8, cpus * 2)
 
 
 LATEST_EVENT_SQL = """
@@ -296,32 +325,51 @@ SESSION_GAP_S = 1800  # 30 min
 
 def user_sessions(sf_dir: str) -> ray.data.Dataset:
     """Per-user session stats with 30-minute-gap sessionization — the
-    streaming session-window op expressed as groupby(user).map_groups:
-    sort by ts within the group (vectorized), split where the gap exceeds
-    the threshold (one diff + cumsum), aggregate per user. Event-time only;
-    no wall-clock."""
+    streaming session-window op. Users are bucketed (user_id % nb); each
+    bucket resolves ALL its users in one vectorized pass: sort by
+    (user, ts), mark session starts (new user OR gap > threshold), then
+    per-session sizes and per-user aggregates via segment reduces — no
+    per-user map_groups (millions of single-user Python calls at scale).
+    Event-time only; no wall-clock."""
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    nb = _merge_buckets()
 
-    def sessions(group: pa.Table) -> pa.Table:
-        col = group["ts"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        ts = np.sort(col.to_numpy().astype("datetime64[s]").astype(np.int64))
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > SESSION_GAP_S).sum())
-        # session lengths in events: split indices -> segment sizes
-        bounds = np.flatnonzero(gaps > SESSION_GAP_S) + 1
-        sizes = np.diff(np.concatenate(([0], bounds, [len(ts)])))
+    def add_pk(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("_pk", pa.array(uid % nb))
+
+    def sessions_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        t = group.take(order)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_col = t["ts"]
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        ts = ts_col.to_numpy(zero_copy_only=False).astype("datetime64[s]").astype(np.int64)
+        n = len(uid)
+        new_session = np.ones(n, dtype=bool)
+        new_session[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > SESSION_GAP_S)
+        s_start = np.flatnonzero(new_session)
+        sizes = np.diff(np.append(s_start, n))
+        sess_user = uid[s_start]  # ascending (sessions follow user order)
+        u_first = np.unique(uid, return_index=True)[1]
+        su_first = np.unique(sess_user, return_index=True)[1]
         return pa.table(
             {
-                "user_id": pc.cast(group["user_id"], pa.int64()).slice(0, 1),
-                "n_events": pa.array([len(ts)], type=pa.int64()),
-                "n_sessions": pa.array([n_sessions], type=pa.int64()),
-                "max_session_events": pa.array([int(sizes.max())], type=pa.int64()),
+                "user_id": pa.array(uid[u_first]),
+                "n_events": pa.array(np.diff(np.append(u_first, n))),
+                "n_sessions": pa.array(np.diff(np.append(su_first, len(sess_user)))),
+                "max_session_events": pa.array(np.maximum.reduceat(sizes, su_first)),
             }
         )
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return (
+        ev.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pk")
+        .map_groups(sessions_bucket, batch_format="pyarrow")
+    )
 
 
 USER_SESSIONS_SQL = f"""
