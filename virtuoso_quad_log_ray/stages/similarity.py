@@ -73,6 +73,55 @@ class BruteForceTopK:
         )
 
 
+def _topk_merge(partial: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """(query_id, neighbor_id, sim) partials -> global top-k per query.
+
+    Queries are bucketed (query_id % nb); each bucket resolves ALL its
+    queries in one vectorized sort + segment-rank pass — no per-query
+    map_groups (one Python call per query does not survive large query
+    sets). Self-matches are dropped; ties break on neighbor_id.
+    """
+    from virtuoso_quad_log_ray.stages.shuffle import cluster_cpus
+
+    nb = max(8, cluster_cpus() * 2)
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        qid = b["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("_pk", pa.array(qid % nb))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.not_equal(group["query_id"], group["neighbor_id"]))
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("query_id", "ascending"),
+                ("sim", "descending"),
+                ("neighbor_id", "ascending"),
+            ],
+        )
+        t = g.take(order)
+        qid = t["query_id"].to_numpy(zero_copy_only=False)
+        n = len(qid)
+        first = np.unique(qid, return_index=True)[1]
+        group_start = np.repeat(first, np.diff(np.append(first, n)))
+        pos = np.arange(n, dtype=np.int64) - group_start
+        keep = pos < k
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "query_id": pc.cast(pc.filter(t["query_id"], mask), pa.int64()),
+                "rank": pa.array(pos[keep] + 1),
+                "neighbor_id": pc.cast(pc.filter(t["neighbor_id"], mask), pa.int64()),
+            }
+        )
+
+    return (
+        partial.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pk")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
 def ann_topk(
     sf_dir: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -85,8 +134,8 @@ def ann_topk(
     value-hash is float-free; ties broken by neighbor_id.
 
     Scale shape: queries broadcast once (ray.put); batch-local top-k inside
-    map_batches; final merge is a tiny groupby over n_queries * n_blocks * k
-    rows.
+    map_batches; final merge is a bucketed vectorized rank over
+    n_queries * n_blocks * k partial rows.
     """
     queries_ref = ray.put(_load_queries(sf_dir, n_queries))
     vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -95,23 +144,7 @@ def ann_topk(
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k + 1},
         **actor_kwargs(batch_size=4096),
     )
-
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group["query_id"][0].as_py()
-        sims = group["sim"].to_numpy()
-        nids = group["neighbor_id"].to_numpy().astype(np.int64)
-        mask = nids != qid  # exclude self-match
-        sims, nids = sims[mask], nids[mask]
-        idx = np.lexsort((nids, -sims))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([qid] * len(idx), type=pa.int64()),
-                "rank": pa.array(np.arange(1, len(idx) + 1, dtype=np.int64)),
-                "neighbor_id": pa.array(nids[idx]),
-            }
-        )
-
-    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _topk_merge(partial, k)
 
 
 def ann_topk_sql(n_queries: int = 10, k: int = 5) -> str:
@@ -241,23 +274,7 @@ def ann_topk_ivf(
     partial = vecs.map_batches(
         ivf_scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
     )
-
-    def merge(group: pa.Table) -> pa.Table:
-        qid = group["query_id"][0].as_py()
-        sims = group["sim"].to_numpy()
-        nids = group["neighbor_id"].to_numpy().astype(np.int64)
-        mask = nids != qid
-        sims, nids = sims[mask], nids[mask]
-        idx = np.lexsort((nids, -sims))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([qid] * len(idx), type=pa.int64()),
-                "rank": pa.array(np.arange(1, len(idx) + 1, dtype=np.int64)),
-                "neighbor_id": pa.array(nids[idx]),
-            }
-        )
-
-    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _topk_merge(partial, k)
 
 
 def embedding_clusters(
