@@ -376,36 +376,58 @@ def winnow_fingerprints(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.
 
 
 # ---------------------------------------------------------------------------
-# language ID: corpus-trained char-trigram profiles, broadcast + score
+# language ID: corpus-trained byte-trigram profiles, broadcast + score
 # ---------------------------------------------------------------------------
 
-def _trigram_counts(texts: list[str]) -> dict[str, int]:
-    counts: dict[str, int] = {}
-    for t in texts:
-        for i in range(len(t) - 2):
-            tri = t[i : i + 3]
-            counts[tri] = counts.get(tri, 0) + 1
-    return counts
+_TRI_SPACE = 1 << 24  # trigram id space: 3 UTF-8 bytes packed into 24 bits
+
+
+def _packed_trigrams(text_col) -> tuple[np.ndarray, np.ndarray]:
+    """String column -> (doc_idx, packed) trigram arrays, whole-batch
+    vectorized over the concatenated UTF-8 buffer (same zero-copy buffer
+    walk as the winnowing stage). Trigram unit = BYTES (identical to code
+    points on ASCII; a deliberate, documented simplification elsewhere)."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    n_docs = len(text_col)
+    offs = np.frombuffer(text_col.buffers()[1], dtype=np.int32)[
+        text_col.offset : text_col.offset + n_docs + 1
+    ].astype(np.int64)
+    data = np.frombuffer(text_col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    total = len(data)
+    m = total - 2
+    if m < 1:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    d = data.astype(np.int64)
+    packed = (d[:m] << 16) | (d[1 : m + 1] << 8) | d[2 : m + 2]
+    doc_of_byte = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+    doc = doc_of_byte[:m]
+    valid = doc == doc_of_byte[2 : m + 2]  # trigram within one document
+    return doc[valid], packed[valid]
+
+
+LANG_HEAD_BYTES = 300  # score on the first N bytes of each document
 
 
 class LangScorer:
     """Actor-pool stage scoring pages against broadcast per-language trigram
     profiles (model broadcast once via ray.put, loaded per actor).
 
-    Scoring is vectorized: one (vocab x langs) log-prob matrix built in
-    __init__, per batch a single gather of every trigram's row + one
-    add.reduceat per document + argmax — no per-(doc, lang) Python loop.
+    Fully vectorized end to end: trigram ids come from the packed-byte
+    helper (one buffer pass per batch) mapped through a direct-addressed
+    2^24 lookup table built once per actor; scoring is one gather of every
+    trigram's (vocab x langs) log-prob row + one add.reduceat per document
+    + argmax — no Python loop over documents, trigrams, or languages.
     """
 
     def __init__(self, profiles_ref):
-        profiles: dict[str, dict[str, int]] = ray.get(profiles_ref)
+        profiles: dict[str, dict[int, int]] = ray.get(profiles_ref)
         self._langs = sorted(profiles)
-        vocab: dict[str, int] = {}
+        vocab: dict[int, int] = {}
         for lang in self._langs:
             for tri in profiles[lang]:
                 vocab.setdefault(tri, len(vocab))
-        self._vocab = vocab
-        n_l = len(self._langs)
         totals = [sum(profiles[l].values()) + 1 for l in self._langs]
         self._floor = np.array([np.log(1 / t) for t in totals])
         # matrix row per trigram (+1 smoothing; unseen = per-lang floor)
@@ -416,33 +438,42 @@ class LangScorer:
                 m[vocab[tri], li] = np.log((v + 1) / t)
         # extra floor row for out-of-vocab trigrams (index len(vocab))
         self._m = np.vstack([m, self._floor[None, :]])
-        self._oov = len(vocab)
+        oov = len(vocab)
+        # direct-addressed packed-trigram -> vocab row LUT (2^24 int32,
+        # 64 MB once per actor): turns id assembly into one numpy gather
+        lut = np.full(_TRI_SPACE, oov, dtype=np.int32)
+        if vocab:
+            keys = np.fromiter(vocab.keys(), dtype=np.int64, count=len(vocab))
+            vals = np.fromiter(vocab.values(), dtype=np.int32, count=len(vocab))
+            lut[keys] = vals
+        self._lut = lut
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vocab, oov = self._vocab, self._oov
-        ids: list[int] = []
-        starts: list[int] = [0]
-        for text in batch["text"].to_pylist():
-            head = text[:300]
-            ids.extend(vocab.get(head[i : i + 3], oov) for i in range(max(0, len(head) - 2)))
-            starts.append(len(ids))
         n_docs = len(batch)
-        if not ids:
-            preds = ["und"] * n_docs
-        else:
-            rows = self._m[np.asarray(ids, dtype=np.int64)]  # (n_tris, L)
-            # zero sentinel row: a bound equal to len(rows) (trailing empty
-            # doc) stays a valid reduceat index and adds nothing to the
-            # preceding segment; empty docs are masked to "und" below
-            rows = np.vstack([rows, np.zeros((1, rows.shape[1]))])
-            bounds = np.asarray(starts[:-1], dtype=np.int64)
-            nonempty = np.diff(np.asarray(starts)) > 0
-            scores = np.add.reduceat(rows, bounds, axis=0)
-            best = np.argmax(scores, axis=1)
-            preds = [
-                self._langs[best[i]] if nonempty[i] else "und" for i in range(n_docs)
-            ]
-        return pa.table({"url": batch["url"], "lang_pred": pa.array(preds, type=pa.string())})
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        heads = pc.binary_slice(pc.cast(text, pa.binary()), 0, LANG_HEAD_BYTES)
+        if isinstance(heads, pa.ChunkedArray):
+            heads = heads.combine_chunks()
+        doc, packed = _packed_trigrams(heads)
+        if len(doc) == 0:
+            preds = pa.array(["und"] * n_docs, type=pa.string())
+            return pa.table({"url": batch["url"], "lang_pred": preds})
+        ids = self._lut[packed]
+        rows = self._m[ids]  # (n_tris, L)
+        # docs are contiguous in `doc` (buffer order); zero sentinel row
+        # keeps a trailing empty doc's reduceat bound valid
+        rows = np.vstack([rows, np.zeros((1, rows.shape[1]))])
+        present, starts = np.unique(doc, return_index=True)
+        scores = np.add.reduceat(rows, starts, axis=0)
+        best = np.argmax(scores, axis=1)
+        lang_arr = np.array(self._langs, dtype=object)
+        preds = np.full(n_docs, "und", dtype=object)
+        preds[present] = lang_arr[best]
+        return pa.table(
+            {"url": batch["url"], "lang_pred": pa.array(preds.tolist(), type=pa.string())}
+        )
 
 
 def lang_id(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
@@ -455,37 +486,56 @@ def lang_id(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
 
     def per_block(batch: pa.Table) -> pa.Table:
-        out_lang, out_tri, out_n = [], [], []
-        langs = batch["lang"].to_pylist()
-        texts = batch["text"].to_pylist()
-        by_lang: dict[str, list[str]] = {}
-        for lang, t in zip(langs, texts):
-            by_lang.setdefault(lang, []).append(t)
-        for lang, ts in by_lang.items():
-            for tri, n in _trigram_counts(ts).items():
-                out_lang.append(lang)
-                out_tri.append(tri)
-                out_n.append(n)
+        # whole-block vectorized trigram counting: pack every in-document
+        # byte trigram to 24 bits, join the doc's language code, and count
+        # (lang, trigram) pairs with one np.unique — no Python loop over
+        # documents or characters (the trainer touches EVERY corpus byte,
+        # so a scalar loop here dominates at scale)
+        lang_col = batch["lang"]
+        if isinstance(lang_col, pa.ChunkedArray):
+            lang_col = lang_col.combine_chunks()
+        enc = lang_col.dictionary_encode()
+        lang_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lang_names = enc.dictionary
+        doc, packed = _packed_trigrams(batch["text"])
+        if len(doc) == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], type=pa.string()),
+                    "tri": pa.array([], type=pa.int64()),
+                    "th": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        key = lang_idx[doc] * _TRI_SPACE + packed
+        uniq, counts = np.unique(key, return_counts=True)
+        # "th": uniformly-mixed bucket hash of the trigram (the raw packed
+        # value clusters in ASCII ranges, so tri % n_buckets would skew)
+        th = ((uniq % _TRI_SPACE).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)).view(
+            np.int64
+        )
         return pa.table(
             {
-                "lang": pa.array(out_lang, type=pa.string()),
-                "tri": pa.array(out_tri, type=pa.string()),
-                "n": pa.array(out_n, type=pa.int64()),
+                "lang": pc.take(lang_names, pa.array(uniq // _TRI_SPACE)),
+                "tri": pa.array(uniq % _TRI_SPACE),
+                "th": pa.array(th),
+                "n": pa.array(counts.astype(np.int64)),
             }
         )
 
     # partial counts per block -> one small groupby (model fits the driver)
-    from ray.data.aggregate import Sum
 
-    counts = (
-        docs.map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["lang", "tri"])
-        .aggregate(Sum("n"))
-        .take_all()
-    )
-    profiles: dict[str, dict[str, int]] = {}
+    from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate
+
+    counts = bucket_aggregate(
+        docs.map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "tri"],
+        [("n", "sum")],
+        hash_col="th",
+    ).take_all()
+    profiles: dict[str, dict[int, int]] = {}
     for row in counts:
-        profiles.setdefault(row["lang"], {})[row["tri"]] = int(row["sum(n)"])
+        profiles.setdefault(row["lang"], {})[int(row["tri"])] = int(row["n_sum"])
     profiles_ref = ray.put(profiles)
 
     pages = read_pages(sf_dir, include_html=False)
