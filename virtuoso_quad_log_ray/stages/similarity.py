@@ -53,22 +53,22 @@ class BruteForceTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
         m = list_matrix(batch["embedding"])
+        # pre-sort columns by vec_id so a STABLE argsort on -sim alone
+        # breaks ties by ascending id — keeps determinism without a
+        # per-query lexsort loop
+        order = np.argsort(vec_ids, kind="stable")
+        vec_ids = vec_ids[order]
+        m = m[order]
         m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = self._q @ m_norm.T  # (n_queries, batch)
-        k = min(self._k, sims.shape[1])
-        out_q, out_n, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            row = sims[qi]
-            # top-k by (-sim, vec_id): lexsort secondary key keeps determinism
-            idx = np.lexsort((vec_ids, -row))[:k]
-            out_q.extend([int(self._qids[qi])] * len(idx))
-            out_n.extend(vec_ids[idx].tolist())
-            out_s.extend(row[idx].tolist())
+        nq, nb = sims.shape
+        k = min(self._k, nb)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]  # (nq, k)
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "sim": pa.array(out_s, type=pa.float64()),
+                "query_id": pa.array(np.repeat(self._qids.astype(np.int64), k)),
+                "neighbor_id": pa.array(vec_ids[top].reshape(-1)),
+                "sim": pa.array(np.take_along_axis(sims, top, axis=1).reshape(-1)),
             }
         )
 
@@ -250,24 +250,31 @@ def ann_topk_ivf(
         qids_, qn_, c_, probed_ = ray.get(state_ref)
         vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
         m = list_matrix(batch["embedding"])
+        # pre-sort by vec_id: stable argsort on -sim alone then breaks
+        # ties by ascending id (no per-query lexsort loop)
+        order = np.argsort(vec_ids, kind="stable")
+        vec_ids = vec_ids[order]
+        m = m[order]
         assign = np.argmin(((m[:, None, :] - c_[None, :, :]) ** 2).sum(axis=2), axis=1)
         m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(qids_)):
-            mask = np.isin(assign, probed_[qi])
-            if not mask.any():
-                continue
-            sims = qn_[qi] @ m_norm[mask].T
-            ids = vec_ids[mask]
-            idx = np.lexsort((ids, -sims))[: k + 1]
-            out_q.extend([int(qids_[qi])] * len(idx))
-            out_n.extend(ids[idx].tolist())
-            out_s.extend(sims[idx].tolist())
+        nq = len(qids_)
+        # one GEMM for every query, then mask non-probed lists to -inf:
+        # (n_lists bool table per query, gathered by each vector's list)
+        allowed_by_list = np.zeros((nq, len(c_)), dtype=bool)
+        np.put_along_axis(allowed_by_list, probed_, True, axis=1)
+        sims = qn_ @ m_norm.T  # (nq, nb)
+        sims = np.where(allowed_by_list[:, assign], sims, -np.inf)
+        kk = min(k + 1, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        top_sims = np.take_along_axis(sims, top, axis=1)
+        keep = np.isfinite(top_sims).reshape(-1)  # drop masked-out slots
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "sim": pa.array(out_s, type=pa.float64()),
+                "query_id": pa.array(
+                    np.repeat(qids_.astype(np.int64), kk)[keep]
+                ),
+                "neighbor_id": pa.array(vec_ids[top].reshape(-1)[keep]),
+                "sim": pa.array(top_sims.reshape(-1)[keep]),
             }
         )
 
