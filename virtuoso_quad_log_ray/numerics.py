@@ -60,3 +60,34 @@ def list_matrix(col, dim: int | None = None, dtype=np.float64) -> np.ndarray:
     if dim == 0:
         return np.zeros((len(col), 0), dtype=dtype)
     return np.ascontiguousarray(flat.reshape(-1, dim).astype(dtype, copy=False))
+
+
+try:  # vectorized 64-bit string hashing; md5 fallback keeps the path portable
+    import polars as _pl
+except ImportError:  # pragma: no cover
+    _pl = None
+
+
+def hash128(arr: "pa.Array | pa.ChunkedArray") -> "tuple[np.ndarray, np.ndarray]":
+    """128-bit content hash of a string array -> two int64 numpy columns.
+
+    For internal group/bucket keys only (never oracle-compared): needs
+    determinism within a run + 128-bit collision odds. Two independently
+    seeded vectorized polars hashes (measured process-stable), or an md5
+    loop as fallback.
+    """
+    import hashlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if _pl is not None:
+        s = _pl.from_arrow(arr)
+        h1 = s.hash(seed=0x9E3779B9).to_numpy().view(np.int64)
+        h2 = s.hash(seed=0x85EBCA6B).to_numpy().view(np.int64)
+        return h1, h2
+    buf = b"".join(  # pragma: no cover
+        hashlib.md5(v.encode() if isinstance(v, str) else v).digest()
+        for v in arr.to_pylist()
+    )
+    h = np.frombuffer(buf, dtype=np.uint64).reshape(-1, 2)  # pragma: no cover
+    return h[:, 0].view(np.int64), h[:, 1].view(np.int64)  # pragma: no cover

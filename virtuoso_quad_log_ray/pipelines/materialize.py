@@ -35,23 +35,23 @@ from virtuoso_quad_log_ray.state.manifest import (
 
 
 def _bucket_of(g: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
-    """Stable bucket id per graph IRI. Hash cost is O(unique graphs), not
-    O(rows): dictionary-encode, hash the dictionary, take by index."""
-    import hashlib
+    """Run-stable bucket id per graph IRI, fully vectorized.
+
+    With graph = url the graph column is ~all-unique, so a per-unique
+    Python hash loop is an O(corpus) scalar loop in the WRITE path; the
+    vectorized 128-bit hash (numerics-backed, process-stable within a
+    polars version) removes it. Resume note: bucket ids are stable within
+    an engine install; a polars major upgrade could re-key them, which the
+    per-epoch resume check tolerates (different epoch -> full rewrite).
+    """
+    import numpy as np
+
+    from virtuoso_quad_log_ray.numerics import hash128
 
     if isinstance(g, pa.ChunkedArray):
         g = g.combine_chunks()
-    enc = pc.dictionary_encode(g)
-    uniq = enc.dictionary.to_pylist()
-    buckets = pa.array(
-        [
-            int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "big")
-            % n_buckets
-            for u in uniq
-        ],
-        type=pa.int64(),
-    )
-    return pc.take(buckets, enc.indices)
+    h1, _ = hash128(g)
+    return pa.array((h1.view(np.uint64) % np.uint64(n_buckets)).view(np.int64))
 
 
 def default_n_buckets() -> int:

@@ -44,32 +44,7 @@ from virtuoso_quad_log_ray.stages.shuffle import (
 
 _SEP = "\x1f"
 
-try:  # vectorized 64-bit string hashing; md5 fallback keeps the path portable
-    import polars as _pl
-except ImportError:  # pragma: no cover
-    _pl = None
-
-
-def _hash128(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """128-bit content hash of a string array -> two int64 numpy columns.
-
-    Used for internal group keys only (never oracle-compared), so the hash
-    function just needs determinism within a run + 128-bit collision odds:
-    two independently-seeded vectorized polars hashes, or an md5 loop over
-    the (already dictionary-encoded, unique) values as fallback.
-    """
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if _pl is not None:
-        s = _pl.from_arrow(arr)
-        h1 = s.hash(seed=0x9E3779B9).to_numpy().view(np.int64)
-        h2 = s.hash(seed=0x85EBCA6B).to_numpy().view(np.int64)
-        return h1, h2
-    buf = b"".join(
-        hashlib.md5(v.encode()).digest() for v in arr.to_pylist()
-    )  # pragma: no cover
-    h = np.frombuffer(buf, dtype=np.uint64).reshape(-1, 2)  # pragma: no cover
-    return h[:, 0].view(np.int64), h[:, 1].view(np.int64)  # pragma: no cover
+from virtuoso_quad_log_ray.numerics import hash128 as _hash128  # shared vectorized key hash
 
 
 # ---------------------------------------------------------------------------
@@ -375,16 +350,11 @@ def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _base_hash(shingle: str) -> int:
-    """Stable 8-byte content hash (process-independent, unlike hash())."""
-    return int.from_bytes(hashlib.blake2b(shingle.encode(), digest_size=8).digest(), "big")
-
-
 class MinHashSignatures:
-    """Actor-pool stage: pages batch -> (url, sig list<uint64>).
+    """Actor-pool stage: pages batch -> (url, sig fixed_size_binary).
 
     Permutation parameters are built once per actor in __init__ (stateful
-    setup), and a per-actor base-hash cache amortizes repeated shingles.
+    setup); base hashes are the shared vectorized 128-bit hash.
 
     Fully vectorized: shingles come from the Arrow offset-join construction
     (same as _shingle_rows), base hashes are computed per UNIQUE shingle
@@ -396,7 +366,6 @@ class MinHashSignatures:
     def __init__(self, num_perm: int, shingle_size: int):
         self._a, self._b = _perm_params(num_perm)
         self._n = shingle_size
-        self._cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = self._n
@@ -421,15 +390,11 @@ class MinHashSignatures:
             distinct = (
                 pa.table({"i": par, "sh": shingles}).group_by(["i", "sh"]).aggregate([])
             )
-            # base hash per UNIQUE shingle only (per-actor cache)
+            # base hash per UNIQUE shingle, fully vectorized (numerics
+            # hash128 is process-stable, so signatures agree across actors)
             enc = pc.dictionary_encode(distinct["sh"].combine_chunks())
-            uniq = enc.dictionary.to_pylist()
-            cache = self._cache
-            uniq_h = np.fromiter(
-                (cache.setdefault(s, _base_hash(s)) for s in uniq),
-                dtype=np.uint64,
-                count=len(uniq),
-            )
+            h1, _ = _hash128(enc.dictionary)
+            uniq_h = h1.view(np.uint64)
             base = uniq_h[enc.indices.to_numpy().astype(np.int64)]
             doc_idx = distinct["i"].to_numpy().astype(np.int64)
             order = np.argsort(doc_idx, kind="stable")
@@ -638,7 +603,7 @@ class SimHashStage:
     Python loop over documents."""
 
     def __init__(self):
-        self._cache: dict[str, int] = {}
+        pass  # base hashing is the shared vectorized hash128; no per-actor state
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_docs = len(batch)
@@ -650,21 +615,8 @@ class SimHashStage:
         sims = np.zeros(n_docs, dtype=np.uint64)
         if len(flat):
             enc = pc.dictionary_encode(flat)
-            uniq = enc.dictionary.to_pylist()
-            cache = self._cache
-            uniq_h = np.fromiter(
-                (
-                    cache.setdefault(
-                        t,
-                        int.from_bytes(
-                            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                        ),
-                    )
-                    for t in uniq
-                ),
-                dtype=np.uint64,
-                count=len(uniq),
-            )
+            h1, _ = _hash128(enc.dictionary)
+            uniq_h = h1.view(np.uint64)  # vectorized, process-stable
             hashes = uniq_h[enc.indices.to_numpy().astype(np.int64)]
             doc_idx = parents.to_numpy().astype(np.int64)
             order = np.argsort(doc_idx, kind="stable")

@@ -57,13 +57,19 @@ def media_metadata(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.
         payload = batch["html"]
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
-        digests = [hashlib.md5(v).hexdigest() for v in payload.to_pylist()]
+        # md5 is oracle-pinned, but dictionary-encode first: mirror clones
+        # carry byte-identical payloads, so each unique payload hashes once
+        import numpy as np
+
+        d = payload.dictionary_encode()
+        uniq = np.array([hashlib.md5(v).hexdigest() for v in d.dictionary.to_pylist()])
+        digests = uniq[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
         return pa.table(
             {
                 "url": batch["url"],
                 "media_type": pa.array(["text/html"] * len(batch), type=pa.string()),
                 "n_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
-                "digest": pa.array(digests, type=pa.string()),
+                "digest": pa.array(digests.tolist(), type=pa.string()),
             }
         )
 

@@ -191,8 +191,15 @@ def _train_centroids(
             assign = np.argmin(
                 ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1
             )
-            sums = np.zeros_like(c)
-            np.add.at(sums, assign, m)
+            # per-dim bincount beats np.add.at (unbuffered scatter) by a
+            # wide margin; dim is a small constant
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=m[:, d_], minlength=len(c))
+                    for d_ in range(m.shape[1])
+                ],
+                axis=1,
+            )
             counts = np.bincount(assign, minlength=len(c))
             return pa.table(
                 {
