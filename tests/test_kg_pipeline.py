@@ -134,3 +134,57 @@ class TestRealPagesInput:
         ds = read_pages_parquet(path, include_html=False)
         assert "html" not in ds.schema().names  # pruned AT THE READ
         assert "warc_ts" in ds.schema().names
+
+
+class TestWarcSource:
+    """WARC round-trip (the native Common-Crawl interchange format):
+    pages -> write_warc -> read_pages_warc preserves url/warc_ts/html
+    byte-exactly, and the downstream extract_text contract (byte-identical
+    text per url) holds over WARC-sourced pages."""
+
+    def test_warc_roundtrip_and_extraction(self, tmp_path):
+        import pyarrow as pa
+
+        from virtuoso_quad_log_ray.sources.pages import read_pages
+        from virtuoso_quad_log_ray.sources.warc import read_pages_warc, write_warc
+        from virtuoso_quad_log_ray.stages.extract_text import extract_text
+
+        pages_tbl = to_arrow(read_pages(SF_SMALL, include_html=True)).sort_by("url")
+        # split across two WARC files (files parse in parallel)
+        half = len(pages_tbl) // 2
+        p1, p2 = str(tmp_path / "a.warc"), str(tmp_path / "b.warc")
+        n1 = write_warc(p1, pages_tbl.slice(0, half))
+        n2 = write_warc(p2, pages_tbl.slice(half))
+        assert n1 + n2 == len(pages_tbl)
+
+        back = to_arrow(read_pages_warc([p1, p2])).sort_by("url")
+        assert back["url"].to_pylist() == pages_tbl["url"].to_pylist()
+        assert back["warc_ts"].to_pylist() == pages_tbl["warc_ts"].to_pylist()
+        assert back["html"].to_pylist() == pages_tbl["html"].to_pylist()
+        assert set(back["lang"].to_pylist()) == {"und"}  # raw crawl: no labels
+
+        # byte-identical text per url over the WARC-sourced pages
+        text = to_arrow(extract_text(read_pages_warc([p1, p2]))).sort_by("url")
+        assert text["text"].to_pylist() == pages_tbl["text"].to_pylist()
+
+    def test_warc_http_payload_and_foreign_records(self, tmp_path):
+        """HTTP-wrapped payloads are unwrapped; non-response records skip."""
+        from virtuoso_quad_log_ray.sources.warc import parse_warc_bytes
+
+        body = b"<html><article>hi</article></html>"
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x/1\r\n"
+            b"WARC-Date: 2024-01-01T00:00:42Z\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+        )
+        info = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Length: 4\r\n\r\nmeta\r\n\r\n"
+        )
+        recs = parse_warc_bytes(info + rec)
+        assert len(recs) == 1
+        assert recs[0]["url"] == "https://x/1"
+        assert recs[0]["warc_ts"] == 1704067242
+        assert recs[0]["html"] == body
