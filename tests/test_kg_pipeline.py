@@ -188,3 +188,48 @@ class TestWarcSource:
         assert recs[0]["url"] == "https://x/1"
         assert recs[0]["warc_ts"] == 1704067242
         assert recs[0]["html"] == body
+
+
+class TestJsonlSource:
+    """C4/Pile-style JSONL corpus -> pages schema -> identical quad set via
+    the text-first (from_html=False) pipeline."""
+
+    def test_jsonl_roundtrip_quads(self, tmp_path):
+        import json
+
+        from virtuoso_quad_log_ray.sources.pages import read_pages, read_pages_jsonl
+
+        pages_tbl = to_arrow(read_pages(SF_SMALL, include_html=False))
+        path = str(tmp_path / "corpus.jsonl")
+        with open(path, "w") as f:
+            for url, ts, text, lang in zip(
+                pages_tbl["url"].to_pylist(),
+                pages_tbl["warc_ts"].to_pylist(),
+                pages_tbl["text"].to_pylist(),
+                pages_tbl["lang"].to_pylist(),
+            ):
+                f.write(
+                    json.dumps(
+                        {
+                            "url": url,
+                            "warc_ts": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                            "text": text,
+                            "lang": lang,
+                        }
+                    )
+                    + "\n"
+                )
+        back = to_arrow(read_pages_jsonl(path)).sort_by("url")
+        want = pages_tbl.sort_by("url")
+        assert back["url"].to_pylist() == want["url"].to_pylist()
+        assert back["text"].to_pylist() == want["text"].to_pylist()
+        assert back["lang"].to_pylist() == want["lang"].to_pylist()
+        assert back["warc_ts"].to_pylist() == want["warc_ts"].to_pylist()
+
+        got = to_arrow(
+            kg.quads_from_pages(read_pages_jsonl(path), from_html=False)
+        ).sort_by([(c, "ascending") for c in ("s", "p", "o", "g")])
+        expect = to_arrow(kg.build_quads(SF_SMALL, from_html=False)).sort_by(
+            [(c, "ascending") for c in ("s", "p", "o", "g")]
+        )
+        assert got.equals(expect) and len(got) > 0

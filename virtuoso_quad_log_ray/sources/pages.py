@@ -134,6 +134,55 @@ def read_pages_parquet(
     )
 
 
+def read_pages_jsonl(
+    paths: str | list[str], *, default_lang: str = "und"
+) -> ray.data.Dataset:
+    """Read a text-first JSONL corpus (the C4/Pile-style interchange format:
+    one JSON object per line with ``url``, ``text``, optional ``lang`` and
+    ``warc_ts`` as epoch seconds or ISO-8601) into the pages schema.
+
+    JSON cannot carry raw bytes, so ``html`` is empty — run the pipelines
+    with ``from_html=False`` (the text is already extracted upstream).
+    """
+
+    ds = ray.data.read_json(paths)
+
+    def shape(b: pa.Table) -> pa.Table:
+        names = set(b.column_names)
+        n = len(b)
+        url = pc.cast(b["url"], pa.string())
+        text = pc.cast(b["text"], pa.string())
+        lang = (
+            pc.cast(b["lang"], pa.string())
+            if "lang" in names
+            else pa.array([default_lang] * n, type=pa.string())
+        )
+        if "warc_ts" in names:
+            ts_col = b["warc_ts"]
+            if pa.types.is_timestamp(ts_col.type):  # Arrow JSON infers ISO dates
+                ts = pc.cast(ts_col, pa.timestamp("s"))
+            elif pa.types.is_integer(ts_col.type) or pa.types.is_floating(ts_col.type):
+                ts = pc.cast(pc.cast(ts_col, pa.int64()), pa.timestamp("s"))
+            else:
+                ts = pc.cast(
+                    pc.strptime(pc.cast(ts_col, pa.string()), format="%Y-%m-%dT%H:%M:%SZ", unit="s"),
+                    pa.timestamp("s"),
+                )
+        else:
+            ts = pa.array([0] * n, type=pa.timestamp("s"))
+        return pa.table(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": pa.array([b""] * n, type=pa.binary()),
+                "text": text,
+                "lang": lang,
+            }
+        ).cast(PAGES_SCHEMA)
+
+    return ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_pages(
     sf_dir: str, *, include_html: bool = True, replicate: int = 1
 ) -> ray.data.Dataset:
