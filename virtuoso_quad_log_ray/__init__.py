@@ -19,4 +19,27 @@ Ray session (driver contract, see __ray_entry__.py).
 from virtuoso_quad_log_ray.config import EngineConfig
 
 __all__ = ["EngineConfig"]
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import virtuoso_quad_log_ray` light — heavy
+    modules load on first attribute access, never at package import)."""
+    lazy = {
+        "build_quads": ("virtuoso_quad_log_ray.pipelines.kg", "build_quads"),
+        "quads_from_pages": ("virtuoso_quad_log_ray.pipelines.kg", "quads_from_pages"),
+        "read_pages_parquet": ("virtuoso_quad_log_ray.sources.pages", "read_pages_parquet"),
+        "read_pages_jsonl": ("virtuoso_quad_log_ray.sources.pages", "read_pages_jsonl"),
+        "read_pages_warc": ("virtuoso_quad_log_ray.sources.warc", "read_pages_warc"),
+        "run_dump_pages": ("virtuoso_quad_log_ray.pipelines.runs", "run_dump_pages"),
+        "run_sync_pages": ("virtuoso_quad_log_ray.pipelines.runs", "run_sync_pages"),
+        "run_loop": ("virtuoso_quad_log_ray.pipelines.runs", "run_loop"),
+        "materialize_quads": ("virtuoso_quad_log_ray.pipelines.materialize", "materialize_quads"),
+        "read_materialized": ("virtuoso_quad_log_ray.pipelines.materialize", "read_materialized"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'virtuoso_quad_log_ray' has no attribute {name!r}")
