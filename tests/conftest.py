@@ -45,6 +45,10 @@ def to_arrow(result):
         # aggregate stages can emit empty blocks with an empty schema;
         # driver-side conversions (to_pandas/take_all) skip them, we do too
         tables = [t for t in tables if t.num_columns > 0]
+        if not tables:  # fully empty dataset: recover the schema if any
+            sch = result.schema(fetch_if_missing=False)
+            base = getattr(sch, "base_schema", None) if sch is not None else None
+            return base.empty_table() if base is not None else pa.table({})
         return pa.concat_tables(tables).combine_chunks()
     if isinstance(result, pd.DataFrame):
         return pa.Table.from_pandas(result, preserve_index=False)

@@ -184,6 +184,18 @@ def ngram_jaccard_pairs(
     tau = threshold if threshold is not None else cfg.jaccard_threshold
     n = shingle_size if shingle_size is not None else cfg.shingle_size
     rows = self_join_input(_shingle_rows(sf_dir, n))
+    if rows.count() == 0:
+        # Ray's hash join cannot resolve key fields over a fully empty
+        # (schema-less) input; an empty corpus short-circuits here
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url_a": pa.array([], type=pa.string()),
+                    "url_b": pa.array([], type=pa.string()),
+                    "jaccard_ppm": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     if max_shingle_freq is not None:
         # Hot-key cap (north_rule skew hazard): a boilerplate shingle shared
         # by F documents contributes F^2 join rows. Document frequencies come
@@ -542,6 +554,16 @@ def minhash_lsh_pairs(
     bucketed = self_join_input(
         sig_tbl.map_batches(band_keys, batch_format="pyarrow", zero_copy_batch=True)
     )
+    if bucketed.count() == 0:  # empty corpus: joins need a schema
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url_a": pa.array([], type=pa.string()),
+                    "url_b": pa.array([], type=pa.string()),
+                    "est_jaccard_ppm": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     joined = bucketed.join(
         bucketed,
         join_type="inner",
@@ -683,6 +705,16 @@ def simhash_pairs(
     bucketed = self_join_input(
         sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
+    if bucketed.count() == 0:  # empty corpus: joins need a schema
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url_a": pa.array([], type=pa.string()),
+                    "url_b": pa.array([], type=pa.string()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     joined = bucketed.join(
         bucketed,
         join_type="inner",

@@ -393,6 +393,16 @@ def embedding_neardup_pairs(
         **actor_kwargs(batch_size=4096),
     )
     bucketed = self_join_input(bucketed)
+    if bucketed.count() == 0:  # empty corpus: joins need a schema
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_a": pa.array([], type=pa.int64()),
+                    "vec_b": pa.array([], type=pa.int64()),
+                    "cos_ppm": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     joined = bucketed.join(
         bucketed,
         join_type="inner",
