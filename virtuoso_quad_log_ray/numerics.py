@@ -63,6 +63,13 @@ def list_matrix(col, dim: int | None = None, dtype=np.float64) -> np.ndarray:
 
 
 try:  # vectorized 64-bit string hashing; md5 fallback keeps the path portable
+    import os as _os
+
+    # polars spins up its own rayon pool sized to ALL visible cores; inside
+    # Ray workers that oversubscribes the per-worker CPU budget (measured:
+    # 2->8-core scaling efficiency fell 0.91 -> 0.74 once the write path
+    # hashed via polars). One thread is plenty for per-batch hash kernels.
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
     import polars as _pl
 except ImportError:  # pragma: no cover
     _pl = None
