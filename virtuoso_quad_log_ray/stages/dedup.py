@@ -24,8 +24,6 @@ oracle-checked configuration keeps it disabled so results stay exact.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
