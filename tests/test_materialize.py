@@ -60,3 +60,46 @@ class TestMaterialize:
             assert os.path.getmtime(os.path.join(root, e)) == mtimes[e]
         assert m2.quad_count == m1.quad_count
         assert m2.file_count == m1.file_count == 4
+
+    def test_resume_invalidated_on_hash_fp_mismatch(self, tmp_path):
+        """ADVICE r2: same-epoch resume must not trust bucket ids keyed by a
+        DIFFERENT hash128 implementation — a tampered/stale fingerprint in
+        the committed manifest forces a full rewrite instead of skipping."""
+        import json
+        import time
+
+        root = str(tmp_path / "adj")
+        quads = kg.dedup_quads(kg.build_quads(SF_SMALL))
+        m1 = materialize_quads(quads, root, epoch="E1", n_buckets=4)
+        from virtuoso_quad_log_ray.numerics import hash_fingerprint
+
+        assert m1.hash_fp == hash_fingerprint() and m1.hash_fp
+        # simulate a polars upgrade: rewrite the committed manifest with a
+        # different fingerprint
+        with open(os.path.join(root, "MANIFEST")) as f:
+            name = f.read().strip()
+        with open(os.path.join(root, name)) as f:
+            doc = json.load(f)
+        doc["hash_fp"] = "polars-0.0.0:deadbeef"
+        with open(os.path.join(root, name), "w") as f:
+            json.dump(doc, f)
+        parts = sorted(
+            os.path.join(d, "part.parquet")
+            for d in os.listdir(root)
+            if d.startswith("bucket=")
+        )
+        mtimes = {p: os.path.getmtime(os.path.join(root, p)) for p in parts}
+        time.sleep(0.05)
+        m2 = materialize_quads(
+            kg.dedup_quads(kg.build_quads(SF_SMALL)), root, epoch="E1", n_buckets=4
+        )
+        assert m2.hash_fp == hash_fingerprint()
+        assert m2.quad_count == m1.quad_count
+        # every bucket rewritten (no skips against an untrusted layout)
+        assert any(
+            os.path.getmtime(os.path.join(root, p)) != mtimes[p] for p in parts
+        )
+        rewritten = sum(
+            os.path.getmtime(os.path.join(root, p)) != mtimes[p] for p in parts
+        )
+        assert rewritten == len(parts)

@@ -69,3 +69,25 @@ def test_list_matrix_infers_dim_and_handles_slices():
     m2 = list_matrix(col.slice(1, 2), dim=2)
     assert (m2 == np.array([[3.0, 4.0], [5.0, 6.0]])).all()
     assert list_matrix(pa.array([], type=pa.list_(pa.float64()))).shape[0] == 0
+
+
+def test_half_away_rejects_nan():
+    """ADVICE r2: NaN (null float upstream) must fail loudly, not cast to a
+    platform-dependent garbage int64."""
+    import numpy as np
+    import pytest
+
+    from virtuoso_quad_log_ray.numerics import half_away_int64
+
+    with pytest.raises(ValueError, match="NaN"):
+        half_away_int64(np.array([1.0, float("nan")]))
+
+
+def test_hash_fingerprint_stable_and_impl_tagged():
+    from virtuoso_quad_log_ray.numerics import hash_fingerprint
+
+    fp = hash_fingerprint()
+    assert fp == hash_fingerprint()  # deterministic within a process
+    impl, _, digest = fp.partition(":")
+    assert impl.startswith(("polars-", "md5-"))
+    assert len(digest) == 32 and int(digest, 16) >= 0

@@ -124,6 +124,95 @@ class TestRuns:
         assert p_files == s_files and p_files
         assert s1.elapsed_s > 0 and s1.quads_per_sec >= 0
 
+    def test_sync_crash_before_patch_commit_replays_full_delta(
+        self, tmp_path, monkeypatch
+    ):
+        """ADVICE r2 (high): a crash AFTER the new snapshot materializes but
+        BEFORE the patch manifest commits must leave the SNAPSHOT pointer at
+        the prior state, so the retry re-diffs old-vs-new and publishes the
+        full delta (not an empty new-vs-new changelog)."""
+        snap = str(tmp_path / "sink")
+        snaps = str(tmp_path / "snapshots")
+        runs.run_dump(SF_SMALL, snap, epoch="E1", cfg=CFG, snapshot_root=snaps)
+
+        calls = {"n": 0}
+        real = runs.write_rdfpatch
+
+        def crashing_write(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("simulated crash before patch commit")
+            return real(*a, **k)
+
+        monkeypatch.setattr(runs, "write_rdfpatch", crashing_write)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            runs.run_sync(
+                SF_SMALL, snap, checkpoint="20240101010101", cfg=CFG,
+                snapshot_root=snaps,
+            )
+        # pointer must still name the OLD snapshot; cursor unmoved
+        with open(os.path.join(snaps, "SNAPSHOT")) as f:
+            assert f.read().strip() == "at-" + TS14_ZERO
+        assert ckpt.read_cursor(snap) == TS14_ZERO
+
+        # retry replays idempotently and emits the real delta
+        m = runs.run_sync(
+            SF_SMALL, snap, checkpoint="20240101010101", cfg=CFG,
+            snapshot_root=snaps,
+        )
+        assert m.quad_count > 0  # v1 -> v2 delta, NOT empty
+        with open(os.path.join(snaps, "SNAPSHOT")) as f:
+            assert f.read().strip() == "at-20240101010101"
+        assert ckpt.read_cursor(snap) == "20240101010101"
+        # delta identical to a never-crashed recompute run
+        plain = str(tmp_path / "plain")
+        runs.run_dump(SF_SMALL, plain, epoch="E1", cfg=CFG)
+        runs.run_sync(SF_SMALL, plain, checkpoint="20240101010101", cfg=CFG)
+        want = {
+            (f.name, f.md5)
+            for f in load_manifest(plain).files
+            if "20240101010101" in f.name
+        }
+        got = {
+            (f.name, f.md5)
+            for f in load_manifest(snap).files
+            if "20240101010101" in f.name
+        }
+        assert got == want and got
+
+    def test_sync_bootstraps_missing_snapshot(self, tmp_path):
+        """ADVICE r2 (low): run_sync with snapshot_root set but no snapshot
+        (dump ran without one) bootstraps the snapshot from the committed
+        prev state instead of silently recomputing forever."""
+        sink = str(tmp_path / "sink")
+        snaps = str(tmp_path / "snapshots")
+        runs.run_dump(SF_SMALL, sink, epoch="E1", cfg=CFG)  # NO snapshot_root
+        assert not os.path.exists(os.path.join(snaps, "SNAPSHOT"))
+        m = runs.run_sync(
+            SF_SMALL, sink, checkpoint="20240101010101", cfg=CFG,
+            snapshot_root=snaps,
+        )
+        assert m.quad_count > 0
+        # snapshot now exists and points at the new state
+        with open(os.path.join(snaps, "SNAPSHOT")) as f:
+            assert f.read().strip() == "at-20240101010101"
+        # the bootstrapped prev snapshot produced the SAME changelog as the
+        # recompute path
+        plain = str(tmp_path / "plain")
+        runs.run_dump(SF_SMALL, plain, epoch="E1", cfg=CFG)
+        runs.run_sync(SF_SMALL, plain, checkpoint="20240101010101", cfg=CFG)
+        want = {
+            (f.name, f.md5)
+            for f in load_manifest(plain).files
+            if "20240101010101" in f.name
+        }
+        got = {
+            (f.name, f.md5)
+            for f in load_manifest(sink).files
+            if "20240101010101" in f.name
+        }
+        assert got == want and got
+
     def test_roundtrip_read_back(self, tmp_path):
         """write_rdfpatch -> read_rdfpatch reproduces the quad multiset
         (publication-surface round-trip; apply() semantics live in

@@ -14,8 +14,14 @@ import pyarrow.compute as pc
 
 
 def half_away_int64(x: np.ndarray) -> np.ndarray:
-    """Round half away from zero (DuckDB round() semantics) -> int64."""
+    """Round half away from zero (DuckDB round() semantics) -> int64.
+
+    NaN (a null float upstream) would cast to a platform-dependent garbage
+    int64; fail loudly instead — callers must drop/fill nulls first.
+    """
     x = np.asarray(x, dtype=np.float64)
+    if np.isnan(x).any():
+        raise ValueError("half_away_int64: NaN input (null upstream?) — fill or drop nulls first")
     return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
 
 
@@ -73,6 +79,23 @@ try:  # vectorized 64-bit string hashing; md5 fallback keeps the path portable
     import polars as _pl
 except ImportError:  # pragma: no cover
     _pl = None
+
+
+def hash_fingerprint() -> str:
+    """Identity of the hash128 implementation actually in effect.
+
+    hash128 values feed PERSISTED bucket ids (materialize._bucket_of), and
+    the same-epoch per-partition resume trusts those ids. A polars upgrade
+    (seeded-hash output is version-dependent) or a worker without polars
+    (md5 fallback) would silently re-key every bucket. Manifests record
+    this fingerprint so resume can detect the mismatch and rewrite instead
+    of skipping buckets whose contents moved (ADVICE r2, numerics.py:78).
+    """
+    sentinel = pa.array(["vql-hash-sentinel"])
+    h1, h2 = hash128(sentinel)
+    impl = f"polars-{_pl.__version__}" if _pl is not None else "md5-fallback"
+    mask = (1 << 64) - 1
+    return f"{impl}:{int(h1[0]) & mask:016x}{int(h2[0]) & mask:016x}"
 
 
 def hash128(arr: "pa.Array | pa.ChunkedArray") -> "tuple[np.ndarray, np.ndarray]":

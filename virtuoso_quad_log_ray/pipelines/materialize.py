@@ -83,11 +83,21 @@ def materialize_quads(
         n_buckets = default_n_buckets()
     import time as _time
 
+    from virtuoso_quad_log_ray.numerics import hash_fingerprint
+
     t_run0 = _time.perf_counter()
     os.makedirs(out_root, exist_ok=True)
+    # Same-epoch resume trusts persisted bucket ids, which depend on the
+    # hash128 implementation (polars version / md5 fallback). If the
+    # environment's hash fingerprint changed since the committed manifest,
+    # bucket contents may have moved — rewrite everything instead of
+    # skipping buckets (ADVICE r2: silent missing/duplicated quads).
+    hash_fp = hash_fingerprint()
     prev = load_manifest(out_root)
     done: set[str] = (
-        {e.name for e in prev.files} if prev and prev.epoch == epoch else set()
+        {e.name for e in prev.files}
+        if prev and prev.epoch == epoch and prev.hash_fp == hash_fp
+        else set()
     )
 
     def keyed(b: pa.Table) -> pa.Table:
@@ -142,6 +152,7 @@ def materialize_quads(
         files=files,
         elapsed_s=round(elapsed, 3),
         quads_per_sec=round(quad_count / elapsed, 1) if elapsed > 0 else 0.0,
+        hash_fp=hash_fp,
     )
     commit_manifest(out_root, manifest)
     return manifest

@@ -76,17 +76,35 @@ def read_snapshot(root: str) -> ray.data.Dataset | None:
     return read_materialized(os.path.join(root, name))
 
 
-def write_snapshot(root: str, quads: ray.data.Dataset, *, checkpoint: str, epoch: str):
-    """Materialize a quad set as the snapshot at ``checkpoint``; swing the
-    pointer only after the materialize manifest commits; prune all but the
-    two most recent snapshots."""
+def materialize_snapshot(
+    root: str, quads: ray.data.Dataset, *, checkpoint: str, epoch: str
+) -> str:
+    """Phase 1 of a snapshot write: materialize the quad set under
+    ``at-<checkpoint>`` WITHOUT swinging the SNAPSHOT pointer. Returns the
+    snapshot dir name for :func:`commit_snapshot`.
+
+    The split exists because a sync must not make the new state the
+    "current snapshot" until its patch manifest + cursor have committed —
+    a crash in between would leave the cursor at the old checkpoint but the
+    pointer at the new state, so the retry diffs new-vs-new and silently
+    drops the old->new delta from the patch stream (ADVICE r2, high).
+    """
     import os
 
     from virtuoso_quad_log_ray.pipelines.materialize import materialize_quads
 
     os.makedirs(root, exist_ok=True)
     name = f"at-{checkpoint}"
-    man = materialize_quads(quads, os.path.join(root, name), epoch=epoch)
+    materialize_quads(quads, os.path.join(root, name), epoch=epoch)
+    return name
+
+
+def commit_snapshot(root: str, name: str) -> None:
+    """Phase 2: atomically swing the SNAPSHOT pointer to ``name`` and prune
+    all but the two most recent snapshot dirs."""
+    import os
+    import shutil
+
     tmp = os.path.join(root, SNAPSHOT_POINTER + ".tmp")
     with open(tmp, "w") as f:
         f.write(name)
@@ -95,10 +113,15 @@ def write_snapshot(root: str, quads: ray.data.Dataset, *, checkpoint: str, epoch
     os.replace(tmp, os.path.join(root, SNAPSHOT_POINTER))
     snaps = sorted(d for d in os.listdir(root) if d.startswith("at-"))
     for stale in snaps[:-2]:
-        import shutil
-
         shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
-    return man
+
+
+def write_snapshot(root: str, quads: ray.data.Dataset, *, checkpoint: str, epoch: str):
+    """Materialize + commit in one step — safe only when there is no
+    in-flight patch run depending on the PREVIOUS snapshot (dump/bootstrap
+    paths). Syncs must use the two-phase form."""
+    name = materialize_snapshot(root, quads, checkpoint=checkpoint, epoch=epoch)
+    commit_snapshot(root, name)
 
 
 def run_dump(
@@ -189,17 +212,36 @@ def run_sync(
         raise RuntimeError(f"checkpoint {checkpoint} not after cursor {cursor}")
     prev_manifest = load_manifest(out_root)
     new_quads = quads_version(sf_dir, new_version, cfg)
+    pending_snapshot: str | None = None
     prev_quads = None
     if snapshot_root is not None:
+        import os
+
+        from virtuoso_quad_log_ray.pipelines.materialize import read_materialized
+
+        epoch = ckpt.read_epoch(out_root) or ""
         prev_quads = read_snapshot(snapshot_root)
-        if prev_quads is not None:
+        if prev_quads is None:
+            # Bootstrap (ADVICE r2, low): the dump ran without snapshot_root,
+            # so no snapshot exists. Materialize the committed prev state as
+            # the snapshot now (full commit — it IS the cursor's state) so
+            # snapshotting starts paying off instead of silently recomputing
+            # the prior crawl on every sync forever.
             write_snapshot(
                 snapshot_root,
-                new_quads,
-                checkpoint=checkpoint,
-                epoch=ckpt.read_epoch(out_root) or "",
+                quads_version(sf_dir, prev_version, cfg),
+                checkpoint=cursor,
+                epoch=epoch,
             )
-            new_quads = read_snapshot(snapshot_root)
+            prev_quads = read_snapshot(snapshot_root)
+        # Two-phase: materialize the NEW state now (one extraction pass, and
+        # the diff below reads it from storage), but swing the SNAPSHOT
+        # pointer only after the patch manifest + cursor commit — see
+        # materialize_snapshot's docstring (ADVICE r2, high).
+        pending_snapshot = materialize_snapshot(
+            snapshot_root, new_quads, checkpoint=checkpoint, epoch=epoch
+        )
+        new_quads = read_materialized(os.path.join(snapshot_root, pending_snapshot))
     if prev_quads is None:
         prev_quads = quads_version(sf_dir, prev_version, cfg)
     log = diff_quads(prev_quads, new_quads, cfg)
@@ -214,6 +256,8 @@ def run_sync(
         last_source=f"{sf_dir}#v{new_version}",
     )
     ckpt.write_cursor(out_root, checkpoint)
+    if pending_snapshot is not None:
+        commit_snapshot(snapshot_root, pending_snapshot)
     return manifest
 
 
@@ -285,17 +329,26 @@ def run_sync_quads(
         raise RuntimeError("no dump committed yet: run_dump_quads first")
     if checkpoint <= cursor:
         raise RuntimeError(f"checkpoint {checkpoint} not after cursor {cursor}")
+    import os
+
+    from virtuoso_quad_log_ray.pipelines.materialize import read_materialized
+
     prev_quads = read_snapshot(snapshot_root)
     if prev_quads is None:
         raise RuntimeError("no snapshot checkpoint: dump with snapshot_root first")
     prev_manifest = load_manifest(out_root)
-    write_snapshot(
+    # Two-phase snapshot: materialize the new state, diff against the still-
+    # current pointer, and swing the pointer only after patch + cursor commit
+    # (crash in between must replay the old->new delta, not lose it).
+    pending = materialize_snapshot(
         snapshot_root,
         new_quads,
         checkpoint=checkpoint,
         epoch=ckpt.read_epoch(out_root) or "",
     )
-    log = diff_quads(prev_quads, read_snapshot(snapshot_root), cfg)
+    log = diff_quads(
+        prev_quads, read_materialized(os.path.join(snapshot_root, pending)), cfg
+    )
     manifest = write_rdfpatch(
         log,
         out_root,
@@ -307,6 +360,7 @@ def run_sync_quads(
         last_source=last_source,
     )
     ckpt.write_cursor(out_root, checkpoint)
+    commit_snapshot(snapshot_root, pending)
     return manifest
 
 

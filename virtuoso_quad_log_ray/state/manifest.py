@@ -52,6 +52,10 @@ class RunManifest:
     # defaults keep pre-metric manifests loadable.
     elapsed_s: float = 0.0
     quads_per_sec: float = 0.0
+    # fingerprint of the hash128 implementation that keyed persisted bucket
+    # ids (materialize layout); same-epoch resume is only valid when it
+    # matches the current environment's fingerprint (ADVICE r2).
+    hash_fp: str = ""
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=1, sort_keys=True)
