@@ -167,6 +167,35 @@ class TestWarcSource:
         text = to_arrow(extract_text(read_pages_warc([p1, p2]))).sort_by("url")
         assert text["text"].to_pylist() == pages_tbl["text"].to_pylist()
 
+    def test_warc_corpus_distributed_roundtrip(self, tmp_path):
+        """VERDICT r2 #7: write_warc_corpus shards the corpus into bucketed
+        WARC files via one map_groups shuffle with a committed manifest;
+        read_warc_corpus (-> read_pages_warc) restores the exact page set."""
+        from virtuoso_quad_log_ray.sources.pages import read_pages
+        from virtuoso_quad_log_ray.sources.warc import read_warc_corpus, write_warc_corpus
+        from virtuoso_quad_log_ray.state.manifest import load_manifest
+
+        root = str(tmp_path / "warc_out")
+        pages = read_pages(SF_SMALL, include_html=True)
+        pages_tbl = to_arrow(pages).sort_by("url")
+        man = write_warc_corpus(pages, root, epoch="E1", n_buckets=4)
+        assert man.kind == "warc"
+        assert man.quad_count == len(pages_tbl)
+        assert man.file_count >= 2  # really sharded
+        assert all(e.name.endswith(".warc") for e in man.files)
+        # files match the manifest's md5/length (resumable-output contract)
+        import hashlib as _hl
+        import os as _os
+
+        for e in man.files:
+            data = open(_os.path.join(root, e.name), "rb").read()
+            assert _hl.md5(data).hexdigest() == e.md5 and len(data) == e.length
+        back = to_arrow(read_warc_corpus(root)).sort_by("url")
+        assert back["url"].to_pylist() == pages_tbl["url"].to_pylist()
+        assert back["warc_ts"].to_pylist() == pages_tbl["warc_ts"].to_pylist()
+        assert back["html"].to_pylist() == pages_tbl["html"].to_pylist()
+        assert load_manifest(root).file_count == man.file_count
+
     def test_warc_http_payload_and_foreign_records(self, tmp_path):
         """HTTP-wrapped payloads are unwrapped; non-response records skip."""
         from virtuoso_quad_log_ray.sources.warc import parse_warc_bytes

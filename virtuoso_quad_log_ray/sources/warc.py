@@ -34,32 +34,148 @@ _CRLF = b"\r\n"
 _SEP = b"\r\n\r\n"
 
 
-def _w3c(ts_s: int) -> str:
-    dt = datetime.datetime.fromtimestamp(ts_s, tz=datetime.timezone.utc)
-    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+def _render_warc_bytes(pages: pa.Table) -> bytes:
+    """pages columns (url, warc_ts, html) -> WARC/1.0 file bytes, rendered
+    fully in Arrow: one ``binary_join_element_wise`` builds every record,
+    one ``binary_join`` concatenates the file — no per-record Python."""
+    import pyarrow.compute as pc
+
+    n = len(pages)
+    if n == 0:
+        return b""
+    html = pages["html"]
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    url = pc.cast(pages["url"], pa.binary())
+    date = pc.cast(
+        pc.strftime(
+            pc.cast(pages["warc_ts"], pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%SZ"
+        ),
+        pa.binary(),
+    )
+    clen = pc.cast(pc.cast(pc.binary_length(html), pa.string()), pa.binary())
+    recs = pc.binary_join_element_wise(
+        b"WARC/1.0" + _CRLF + b"WARC-Type: response" + _CRLF + b"WARC-Target-URI: ",
+        url,
+        _CRLF + b"WARC-Date: ",
+        date,
+        _CRLF + b"Content-Type: text/html" + _CRLF + b"Content-Length: ",
+        clen,
+        _SEP,
+        html,
+        _SEP,
+        b"",  # last arg = element-wise separator
+    )
+    if isinstance(recs, pa.ChunkedArray):
+        recs = recs.combine_chunks()
+    joined = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array([0, n], type=pa.int64()), recs), b""
+    )
+    return joined[0].as_py()
 
 
 def write_warc(path: str, pages: pa.Table) -> int:
     """pages table (url, warc_ts, html) -> one WARC/1.0 file; returns record
-    count. Each page becomes a ``response`` record with a raw html payload."""
-    n = 0
+    count. Each page becomes a ``response`` record with a raw html payload.
+    Single-file utility (round-trip tests, small exports); corpus-scale
+    export is :func:`write_warc_corpus`."""
     with open(path, "wb") as f:
-        urls = pages["url"].to_pylist()
-        ts = pages["warc_ts"].to_pylist()
-        htmls = pages["html"].to_pylist()
-        for url, t, html in zip(urls, ts, htmls):
-            ts_s = int(t.timestamp()) if hasattr(t, "timestamp") else int(t)
-            header = (
-                b"WARC/1.0" + _CRLF
-                + b"WARC-Type: response" + _CRLF
-                + b"WARC-Target-URI: " + url.encode() + _CRLF
-                + b"WARC-Date: " + _w3c(ts_s).encode() + _CRLF
-                + b"Content-Type: text/html" + _CRLF
-                + b"Content-Length: " + str(len(html)).encode() + _CRLF
-            )
-            f.write(header + _CRLF + html + _SEP)
-            n += 1
-    return n
+        f.write(_render_warc_bytes(pages))
+    return len(pages)
+
+
+def write_warc_corpus(
+    pages: ray.data.Dataset,
+    out_root: str,
+    *,
+    epoch: str = "",
+    n_buckets: int | None = None,
+) -> "RunManifest":
+    """Distributed WARC export (VERDICT r2 #7): one bucketed
+    ``groupby(hash(url) % n_buckets).map_groups`` shuffle writes one WARC
+    shard per bucket (``shard-K.warc``, ``.part`` + rename), only file
+    metadata returns to the driver, and a manifest commits last — the same
+    commit/resume shape as ``pipelines.publish.write_rdfpatch``. Rows are
+    sorted (url, warc_ts) within a shard for deterministic output."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+
+    from virtuoso_quad_log_ray.pipelines.materialize import _bucket_of, default_n_buckets
+    from virtuoso_quad_log_ray.state.manifest import (
+        FileEntry,
+        RunManifest,
+        commit_manifest,
+    )
+
+    nb = n_buckets or default_n_buckets()
+    os.makedirs(out_root, exist_ok=True)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return b.select(["url", "warc_ts", "html"]).append_column(
+            "bucket", _bucket_of(b["url"], nb)
+        )
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        bucket = int(group["bucket"][0].as_py())
+        rel = f"shard-{bucket:05d}.warc"
+        order = pc.sort_indices(
+            group, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
+        )
+        t = group.take(order)
+        data = _render_warc_bytes(t)
+        final = os.path.join(out_root, rel)
+        part = final + ".part"
+        with open(part, "wb") as f:
+            f.write(data)
+        os.replace(part, final)
+        return pa.table(
+            {
+                "name": pa.array([rel], type=pa.string()),
+                "amount": pa.array([len(t)], type=pa.int64()),
+                "md5": pa.array([hashlib.md5(data).hexdigest()], type=pa.string()),
+                "length": pa.array([len(data)], type=pa.int64()),
+            }
+        )
+
+    meta = (
+        pages.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    files = sorted(
+        (
+            FileEntry(r["name"], "", int(r["amount"]), r["md5"], int(r["length"]))
+            for r in meta
+        ),
+        key=lambda e: e.name,
+    )
+    manifest = RunManifest(
+        epoch=epoch,
+        checkpoint="",
+        kind="warc",
+        quad_count=sum(e.amount for e in files),
+        file_count=len(files),
+        files=files,
+    )
+    commit_manifest(out_root, manifest)
+    return manifest
+
+
+def read_warc_corpus(out_root: str, *, default_lang: str = "und") -> ray.data.Dataset:
+    """Committed WARC shards -> pages Dataset (manifest-listed; uncommitted
+    ``.part`` shards are invisible)."""
+    import os
+
+    from virtuoso_quad_log_ray.state.manifest import load_manifest
+
+    manifest = load_manifest(out_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest under {out_root}")
+    paths = [os.path.join(out_root, e.name) for e in manifest.files]
+    return read_pages_warc(paths, default_lang=default_lang)
 
 
 def parse_warc_bytes(blob: bytes) -> list[dict]:
