@@ -49,8 +49,12 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
         # Sum + round at the end can differ from the oracle by 1 cent at
         # scale. Integer sums are exact and associative in both engines.
         # Filter compares TIMESTAMPS (string renderings differ per engine).
+        # Then PRE-AGGREGATE inside the block (pyarrow C++ group_by): only
+        # ~|groups| partial rows per block reach the shuffle — Ray's
+        # multi-agg combine is per-row Python, so feeding it raw rows was
+        # the r2 regression's cost floor (VERDICT r2 #4).
         b = b.filter(pc.less_equal(pc.cast(b["l_shipdate"], pa.timestamp("us")), cutoff))
-        return pa.table(
+        rows = pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
@@ -59,15 +63,28 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
                 "disc_ppm": _ppm(b["l_discount"]),
             }
         )
+        part = rows.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_ppm", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": part["l_returnflag"],
+                "l_linestatus": part["l_linestatus"],
+                "qty_c": part["qty_c_sum"],
+                "price_c": part["price_c_sum"],
+                "disc_ppm": part["disc_ppm_sum"],
+                "n": pc.cast(part["count_all"], pa.int64()),
+            }
+        )
 
     agg = (
         li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("qty_c"), Sum("price_c"), Sum("disc_ppm"), Count())
+        .aggregate(Sum("qty_c"), Sum("price_c"), Sum("disc_ppm"), Sum("n"))
     )
 
     def shape(batch: pa.Table) -> pa.Table:
-        n = pc.cast(batch["count()"], pa.int64())
+        n = pc.cast(batch["sum(n)"], pa.int64())
         sum_disc = pc.cast(batch["sum(disc_ppm)"], pa.float64()).to_numpy(zero_copy_only=False)
         n_np = n.to_numpy(zero_copy_only=False)
         return pa.table(
