@@ -71,6 +71,32 @@ class TestTextStats:
             tx.corpus_stats_by_lang(SF_SMALL), oracle, tx.CORPUS_STATS_BY_LANG_SQL, ["lang"]
         )
 
+    def test_redact_pii_vs_oracle(self, oracle):
+        assert_matches_oracle(tx.redact_pii(SF_SMALL), oracle, tx.REDACT_PII_SQL, ["url"])
+
+    def test_redact_batch_kernel(self):
+        """The PII kernel rewrites emails/phones/IPs to typed tokens and
+        counts matches per pattern on the original text."""
+        import pyarrow as pa
+
+        clean, n = tx.redact_batch(
+            pa.array(
+                [
+                    "mail john.doe+x@example.co.uk or call 555-123-4567",
+                    "host 10.0.0.255, alt 1.2.3.4",
+                    "clean text",
+                    "",
+                ]
+            )
+        )
+        assert clean.to_pylist() == [
+            "mail <EMAIL> or call <PHONE>",
+            "host <IP>, alt <IP>",
+            "clean text",
+            "",
+        ]
+        assert n.to_pylist() == [2, 2, 0, 0]
+
     def test_winnow_fingerprints(self):
         """Deterministic; byte-identical mirror clones get identical
         fingerprint sets; near-dups (' extra' suffix) share most content so

@@ -150,6 +150,65 @@ TOKEN_COUNTS_SQL = (
 )
 
 
+# PII redaction (C4/RefinedWeb-style corpus scrubbing): emails, simple
+# US-style phone numbers, IPv4 addresses -> typed placeholder tokens.
+# Patterns are RE2 on BOTH sides (Arrow's replace_substring_regex and
+# DuckDB's regexp_replace both run RE2), applied in declared order, so
+# engine and oracle rewrite identically byte for byte.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_batch(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(clean_text, n_pii) for a text column — fully vectorized: one
+    count + one replace kernel per pattern, no Python per row. Counts are
+    taken per pattern on the ORIGINAL text (match DuckDB oracle)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_pii = np.zeros(len(text), dtype=np.int64)
+    clean = text
+    for pattern, token in PII_PATTERNS:
+        n_pii += pc.count_substring_regex(text, pattern).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        clean = pc.replace_substring_regex(clean, pattern, token)
+    return clean, pa.array(n_pii)
+
+
+def redact_pii(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Per-page PII scrub: (url, clean_text, n_pii). A corpus-prep stage a
+    training pipeline runs before tokenization; stateless vectorized
+    map_batches, streams at any scale."""
+    pages = read_pages(sf_dir, include_html=False)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        clean, n_pii = redact_batch(batch["text"])
+        return pa.table({"url": batch["url"], "clean_text": clean, "n_pii": n_pii})
+
+    return pages.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pii_sql() -> str:
+    clean = "text"
+    counts = []
+    for pattern, token in PII_PATTERNS:
+        esc = pattern.replace("'", "''")
+        counts.append(f"len(regexp_extract_all(text, '{esc}'))")
+        clean = f"regexp_replace({clean}, '{esc}', '{token}', 'g')"
+    return (
+        "WITH " + PAGES_SQL_CTE + "\n"
+        f"SELECT url, {clean} AS clean_text,\n"
+        f"       CAST({' + '.join(counts)} AS BIGINT) AS n_pii\n"
+        "FROM pages"
+    )
+
+
+REDACT_PII_SQL = _pii_sql()
+
+
 # Quality-gate thresholds (a Gopher/C4-style keep/drop rule, frozen so the
 # oracle can reproduce it).
 MIN_TOKENS = 20
