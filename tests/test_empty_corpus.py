@@ -21,10 +21,16 @@ DOC_SCHEMA = pa.schema(
 )
 
 
+EMB_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64()))]
+)
+
+
 @pytest.fixture(scope="module")
 def empty_sf(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("empty_sf"))
     pq.write_table(DOC_SCHEMA.empty_table(), os.path.join(d, "documents.parquet"))
+    pq.write_table(EMB_SCHEMA.empty_table(), os.path.join(d, "embeddings.parquet"))
     return d
 
 
@@ -47,6 +53,23 @@ def test_empty_corpus_operators(empty_sf):
     for name, ds in cases.items():
         t = to_arrow(ds)
         assert len(t) == 0, name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_embeddings_operators(empty_sf):
+    """Zero-row embeddings table: every similarity entry point yields an
+    empty result with its real schema (the dim probe reads no rows)."""
+    from virtuoso_quad_log_ray.stages import similarity as sim
+
+    assert sim._emb_dim(os.path.join(empty_sf, "embeddings.parquet")) == 0
+    topk = to_arrow(sim.ann_topk(empty_sf))
+    assert len(topk) == 0 and topk.column_names == ["query_id", "rank", "neighbor_id"]
+    ivf = to_arrow(sim.ann_topk_ivf(empty_sf))
+    assert len(ivf) == 0 and ivf.column_names == ["query_id", "rank", "neighbor_id"]
+    cl = to_arrow(sim.embedding_clusters(empty_sf))
+    assert len(cl) == 0 and cl.column_names == ["vec_id", "cluster"]
+    nd = to_arrow(sim.embedding_neardup_pairs(empty_sf))
+    assert len(nd) == 0 and nd.column_names == ["vec_a", "vec_b", "cos_ppm"]
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -43,7 +43,9 @@ def _emb_dim(emb_path: str) -> int:
     typ = f.schema_arrow.field("embedding").type
     if pa.types.is_fixed_size_list(typ):
         return typ.list_size
-    batch = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+    batch = next(f.iter_batches(batch_size=1, columns=["embedding"]), None)
+    if batch is None or len(batch) == 0:  # zero-row table: no rows to probe
+        return 0
     return len(batch.column(0)[0])
 
 
@@ -161,7 +163,10 @@ def ann_topk(
     map_batches; final merge is a bucketed vectorized rank over
     n_queries * n_blocks * k partial rows.
     """
-    queries_ref = ray.put(_load_queries(sf_dir, n_queries))
+    qids, q = _load_queries(sf_dir, n_queries)
+    if len(qids) == 0:  # empty corpus: no queries, empty result with schema
+        return _empty_topk()
+    queries_ref = ray.put((qids, q))
     vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partial = vecs.map_batches(
         BruteForceTopK,
@@ -169,6 +174,18 @@ def ann_topk(
         **actor_kwargs(batch_size=4096),
     )
     return _topk_merge(partial, k)
+
+
+def _empty_topk() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+            }
+        )
+    )
 
 
 def ann_topk_sql(n_queries: int = 10, k: int = 5) -> str:
@@ -266,6 +283,8 @@ def ann_topk_ivf(
     """
     emb_path = f"{sf_dir}/embeddings.parquet"
     dim = _emb_dim(emb_path)
+    if dim == 0:  # empty corpus
+        return _empty_topk()
     vecs = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
     centroids = _train_centroids(vecs, n_lists, dim)
     qids, q = _load_queries(sf_dir, n_queries)
@@ -325,6 +344,15 @@ def embedding_clusters(
     rows-only check, determinism + partition coverage asserted in tests."""
     emb_path = f"{sf_dir}/embeddings.parquet"
     dim = _emb_dim(emb_path)
+    if dim == 0:  # empty corpus
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     vecs = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
     centroids = _train_centroids(vecs, n_clusters, dim)
     c_ref = ray.put(centroids)
