@@ -196,6 +196,61 @@ class TestWarcSource:
         assert back["html"].to_pylist() == pages_tbl["html"].to_pylist()
         assert load_manifest(root).file_count == man.file_count
 
+    def test_warc_render_parse_property(self, tmp_path):
+        """Property: render -> parse is the identity for arbitrary binary
+        payloads — including payloads that CONTAIN record separators
+        (\\r\\n\\r\\n) or header-like text (Content-Length framing must win
+        over any content sniffing)."""
+        import datetime as dt
+
+        import pyarrow as pa
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from virtuoso_quad_log_ray.sources.warc import _render_warc_bytes, parse_warc_bytes
+
+        payloads = st.lists(
+            st.one_of(
+                st.binary(max_size=200),
+                st.just(b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n"),
+                st.just(b"Content-Length: 99\r\n\r\nx"),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(payloads=payloads, ts0=st.integers(min_value=0, max_value=2**31 - 1))
+        def check(payloads, ts0):
+            # HTTP/-prefixed payloads are reserved for real HTTP blocks (the
+            # parser unwraps them by contract), so mask that prefix off
+            payloads = [b"x" + p if p.startswith(b"HTTP/") else p for p in payloads]
+            t = pa.table(
+                {
+                    "url": pa.array([f"https://x/{i}" for i in range(len(payloads))]),
+                    "warc_ts": pa.array(
+                        [
+                            dt.datetime.fromtimestamp(
+                                (ts0 + i) % 2**31, tz=dt.timezone.utc
+                            ).replace(tzinfo=None)
+                            for i in range(len(payloads))
+                        ],
+                        type=pa.timestamp("s"),
+                    ),
+                    "html": pa.array(payloads, type=pa.binary()),
+                }
+            )
+            recs = parse_warc_bytes(_render_warc_bytes(t))
+            assert [r["url"] for r in recs] == t["url"].to_pylist()
+            assert [r["html"] for r in recs] == payloads
+            want_ts = [
+                int(v.replace(tzinfo=dt.timezone.utc).timestamp())
+                for v in t["warc_ts"].to_pylist()
+            ]
+            assert [r["warc_ts"] for r in recs] == want_ts
+
+        check()
+
     def test_warc_http_payload_and_foreign_records(self, tmp_path):
         """HTTP-wrapped payloads are unwrapped; non-response records skip."""
         from virtuoso_quad_log_ray.sources.warc import parse_warc_bytes

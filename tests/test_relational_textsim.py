@@ -97,6 +97,49 @@ class TestTextStats:
         ]
         assert n.to_pylist() == [2, 2, 0, 0]
 
+    def test_redact_batch_duckdb_parity_property(self):
+        """Property: the Arrow RE2 rewrite is byte-identical to DuckDB's for
+        arbitrary text mixed with synthesized emails/phones/IPs — the exact
+        parity the driver's value-hash depends on."""
+        import duckdb
+        import pyarrow as pa
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        pieces = st.one_of(
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+                max_size=20,
+            ),
+            st.just("a.b-c_d@ex-ample.co.uk"),
+            st.just("555-123-4567"),
+            st.just("10.0.0.1"),
+            st.just("1.2.3.4.5.6"),
+            st.just("v1.2.3"),
+            st.just("x@y"),
+        )
+        texts = st.lists(
+            st.lists(pieces, max_size=6).map(" ".join), min_size=1, max_size=5
+        )
+        con = duckdb.connect()
+
+        @settings(max_examples=30, deadline=None)
+        @given(ts=texts)
+        def check(ts):
+            clean, n = tx.redact_batch(pa.array(ts, type=pa.string()))
+            expr, cnts = "t", []
+            for pat, tok in tx.PII_PATTERNS:
+                esc = pat.replace("'", "''")
+                cnts.append(f"len(regexp_extract_all(t, '{esc}'))")
+                expr = f"regexp_replace({expr}, '{esc}', '{tok}', 'g')"
+            got = con.execute(
+                f"SELECT {expr}, {' + '.join(cnts)} FROM (SELECT unnest(?) AS t)", [ts]
+            ).fetchall()
+            assert [r[0] for r in got] == clean.to_pylist()
+            assert [r[1] for r in got] == n.to_pylist()
+
+        check()
+
     def test_winnow_fingerprints(self):
         """Deterministic; byte-identical mirror clones get identical
         fingerprint sets; near-dups (' extra' suffix) share most content so
