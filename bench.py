@@ -100,7 +100,10 @@ def run_suite() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return n
 
-    headline_quads(SF_DIR, min(5, REPLICATE))  # warm the worker fleet
+    # Warm the worker fleet with a real-sized pass: replicate=5 left the
+    # 32-CPU fleet half-cold and the first timed headline ~2x slow
+    # (measured 9.0 s cold-first vs 4.8-4.9 s warm at replicate 50).
+    headline_quads(SF_DIR, min(50, REPLICATE))
     t0 = time.perf_counter()
     quads = headline_quads(SF_DIR, REPLICATE)
     headline_sec = round(time.perf_counter() - t0, 3)
