@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_by_lang": lambda sf: tx.corpus_stats_by_lang(sf),
         "text_shard_plan": lambda sf: tx.shard_plan(sf),
         "text_redact_pii": lambda sf: tx.redact_pii(sf),
+        "text_chunks": lambda sf: tx.text_chunks(sf),
         # --- multimodal binary-column stages (decode stubbed, plumbing real) ---
         "mm_media_metadata": lambda sf: mm.media_metadata(sf),
         # wide (one int64 col per bin) so the value hash is SQL-comparable;
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats_by_lang": tx.CORPUS_STATS_BY_LANG_SQL,
         "text_shard_plan": tx.shard_plan_sql(),
         "text_redact_pii": tx.REDACT_PII_SQL,
+        "text_chunks": tx.TEXT_CHUNKS_SQL,
         "mm_media_metadata": mm.MEDIA_METADATA_SQL,
         "ann_topk": sim.ann_topk_sql(),
         "rel_pricing_summary": rel.PRICING_SUMMARY_SQL,

@@ -74,6 +74,34 @@ class TestTextStats:
     def test_redact_pii_vs_oracle(self, oracle):
         assert_matches_oracle(tx.redact_pii(SF_SMALL), oracle, tx.REDACT_PII_SQL, ["url"])
 
+    def test_text_chunks_vs_oracle(self, oracle):
+        assert_matches_oracle(
+            tx.text_chunks(SF_SMALL), oracle, tx.TEXT_CHUNKS_SQL, ["url", "chunk_idx"]
+        )
+
+    def test_text_chunks_reassemble(self):
+        """Chunk texts joined back with ' ' reproduce each page's text
+        exactly (split+join losslessness), and token accounting is exact."""
+        import pyarrow as pa
+
+        from virtuoso_quad_log_ray.sources.pages import read_pages
+
+        pages = to_arrow(read_pages(SF_SMALL, include_html=False))
+        chunks = to_arrow(tx.text_chunks(SF_SMALL)).sort_by(
+            [("url", "ascending"), ("chunk_idx", "ascending")]
+        )
+        by_url: dict = {}
+        for u, ct, nt in zip(
+            chunks["url"].to_pylist(),
+            chunks["chunk_text"].to_pylist(),
+            chunks["n_toks"].to_pylist(),
+        ):
+            by_url.setdefault(u, []).append((ct, nt))
+        for u, text in zip(pages["url"].to_pylist(), pages["text"].to_pylist()):
+            parts = by_url[u]
+            assert " ".join(p[0] for p in parts) == text
+            assert sum(p[1] for p in parts) == len(text.split(" "))
+
     def test_redact_batch_kernel(self):
         """The PII kernel rewrites emails/phones/IPs to typed tokens and
         counts matches per pattern on the original text."""

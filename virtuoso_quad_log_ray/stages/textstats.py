@@ -209,6 +209,103 @@ def _pii_sql() -> str:
 REDACT_PII_SQL = _pii_sql()
 
 
+# Context-window chunking: fixed token windows per document — the prep step
+# a training pipeline runs to fit documents into a model's context length.
+CHUNK_TOKENS = 64  # whitespace tokens per chunk (non-overlapping)
+
+
+def text_chunks(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, *, chunk_tokens: int = CHUNK_TOKENS
+) -> ray.data.Dataset:
+    """Per-page fixed-token-window chunks: one row per chunk with
+    (url, chunk_idx, start_tok, n_toks, chunk_text). Fully vectorized:
+    token offsets come from the split ListArray's offsets buffer; the 1->N
+    fan-out is numpy repeat; each chunk's text is ONE ``binary_join`` over
+    a ListArray view of the flat token array (split+join on the same
+    separator is lossless, so chunk texts concatenate back to the page).
+
+    Scale shape: stateless map_batches, no shuffle — chunking 10^12 docs
+    streams block by block."""
+    pages = read_pages(sf_dir, include_html=False)
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tokens = pc.split_pattern(text, " ")
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = tokens.flatten()  # honors the list offsets
+        n = len(tokens)
+        tok_offs = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_offs = tok_offs - tok_offs[0]  # slice-safe base
+        n_toks = np.diff(tok_offs)
+        n_chunks = np.maximum(1, -(-n_toks // chunk_tokens))  # ceil, min 1
+        total = int(n_chunks.sum())
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        row_start = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        chunk_idx = np.arange(total, dtype=np.int64) - row_start
+        start_tok = chunk_idx * chunk_tokens
+        tok_lo = tok_offs[doc_idx] + start_tok
+        tok_hi = np.minimum(tok_lo + chunk_tokens, tok_offs[doc_idx + 1])
+        # gather flat[lo:hi) for every chunk into one contiguous token
+        # array, wrap it as a ListArray (one list per chunk), join with " "
+        gathered = _slices(flat, tok_lo, tok_hi)
+        lens = tok_hi - tok_lo
+        piece_offsets = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(lens)]
+        ).astype(np.int32)
+        pieces = pa.ListArray.from_arrays(
+            pa.array(piece_offsets, type=pa.int32()), gathered
+        )
+        chunk_text = pc.binary_join(pieces, " ")
+        return pa.table(
+            {
+                "url": pc.take(batch["url"], pa.array(doc_idx)),
+                "chunk_idx": pa.array(chunk_idx),
+                "start_tok": pa.array(start_tok),
+                "n_toks": pa.array(tok_hi - tok_lo),
+                "chunk_text": chunk_text,
+            }
+        )
+
+    return pages.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _slices(flat: pa.Array, lo: "np.ndarray", hi: "np.ndarray") -> pa.Array:
+    """Gather flat[lo[i]:hi[i]] for every i into one contiguous array
+    (vectorized fancy-index; the per-chunk list wrapper is built by the
+    caller from the run lengths)."""
+    lens = hi - lo
+    pos = (
+        np.arange(int(lens.sum()), dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+        + np.repeat(lo, lens)
+    )
+    return flat.take(pa.array(pos))
+
+
+def text_chunks_sql(chunk_tokens: int = CHUNK_TOKENS) -> str:
+    k = chunk_tokens
+    return (
+        "WITH " + PAGES_SQL_CTE + ",\n"
+        "b AS (SELECT url, string_split(text, ' ') AS w FROM pages),\n"
+        "c AS (\n"
+        "    SELECT url, w, unnest(range(0, greatest(1, CAST(ceil("
+        f"len(w) / {k}.0) AS BIGINT)))) AS ci\n"
+        "    FROM b\n"
+        ")\n"
+        "SELECT url, CAST(ci AS BIGINT) AS chunk_idx,\n"
+        f"       CAST(ci * {k} AS BIGINT) AS start_tok,\n"
+        f"       CAST(least((ci + 1) * {k}, len(w)) - ci * {k} AS BIGINT) AS n_toks,\n"
+        f"       array_to_string(list_slice(w, ci * {k} + 1, least((ci + 1) * {k}, len(w))), ' ') AS chunk_text\n"
+        "FROM c"
+    )
+
+
+TEXT_CHUNKS_SQL = text_chunks_sql()
+
+
 # Quality-gate thresholds (a Gopher/C4-style keep/drop rule, frozen so the
 # oracle can reproduce it).
 MIN_TOKENS = 20
