@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_latest_event": lambda sf: rel.latest_event_per_user(sf),
         "rel_user_sessions": lambda sf: rel.user_sessions(sf),
         "rel_filtered_events": lambda sf: rel.filtered_event_stats(sf),
+        "rel_asof_prev_event": lambda sf: rel.asof_prev_event(sf),
     }
 
 
@@ -130,4 +131,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_latest_event": rel.LATEST_EVENT_SQL,
         "rel_user_sessions": rel.USER_SESSIONS_SQL,
         "rel_filtered_events": rel.FILTERED_EVENT_STATS_SQL,
+        "rel_asof_prev_event": rel.ASOF_PREV_EVENT_SQL,
     }

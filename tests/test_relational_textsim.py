@@ -41,6 +41,57 @@ class TestRelational:
             rel.user_sessions(SF_SMALL), oracle, rel.USER_SESSIONS_SQL, ["user_id"]
         )
 
+    def test_asof_prev_event(self, oracle):
+        assert_matches_oracle(
+            rel.asof_prev_event(SF_SMALL), oracle, rel.ASOF_PREV_EVENT_SQL, ["event_id"]
+        )
+
+    def test_asof_inclusive_and_tie_semantics(self):
+        """As-of is inclusive (right at the same ts counts) and ties on ts
+        resolve to the max event_id; lefts with no prior right drop."""
+        import numpy as np
+        import pyarrow as pa
+
+        from virtuoso_quad_log_ray.pipelines import relational as rel_mod
+
+        # build a bucket table directly against the inner kernel via the
+        # public operator on a synthetic parquet dir
+        import pyarrow.parquet as pq
+
+        def run(tmpdir, rows):
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                        "event_type": pa.array([r[3] for r in rows]),
+                        "value": pa.array([0.0] * len(rows)),
+                        "props": pa.array([""] * len(rows)),
+                    }
+                ),
+                f"{tmpdir}/events.parquet",
+            )
+            return to_arrow(rel_mod.asof_prev_event(tmpdir)).sort_by("event_id")
+
+        import datetime as dt
+        import tempfile
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = dt.timedelta(seconds=1)
+        rows = [
+            (1, t0, 7, "click"),
+            (2, t0, 7, "click"),          # tie on ts with id 1 -> max id wins
+            (3, t0, 7, "purchase"),       # inclusive: same-ts click counts
+            (4, t0 + s, 7, "purchase"),   # later purchase sees id 2 as well
+            (5, t0, 8, "purchase"),       # user 8 has NO click -> dropped
+            (6, t0 + s, 8, "click"),      # click after the purchase: no leak
+        ]
+        with tempfile.TemporaryDirectory() as tmpdir:
+            out = run(tmpdir, rows)
+        assert out["event_id"].to_pylist() == [3, 4]
+        assert out["prev_event_id"].to_pylist() == [2, 2]
+
     def test_filtered_events(self, oracle):
         assert_matches_oracle(
             rel.filtered_event_stats(SF_SMALL), oracle, rel.FILTERED_EVENT_STATS_SQL,

@@ -452,3 +452,100 @@ FROM events
 WHERE event_type IN ('error', 'purchase') AND value > 100.0
 GROUP BY event_type
 """.strip()
+
+
+# --- distributed AS-OF join (brief's custom-operator list) -----------------
+
+def asof_prev_event(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> ray.data.Dataset:
+    """AS-OF join within the event stream: for every ``left_type`` event,
+    the same user's latest ``right_type`` event at or before it (ties on ts
+    broken by max event_id). Output (event_id, prev_event_id), inner — left
+    events with no prior right event are dropped.
+
+    Ray Data has no as-of join; the distributed form is the standard
+    composition the brief asks to document: hash-bucket BOTH sides by the
+    equality key (user_id), then ONE vectorized sorted-merge per bucket —
+    lexsort (user, ts, side, event_id) with rights before lefts at equal
+    ts (as-of is inclusive), forward-fill the last-seen right row index
+    with maximum.accumulate, and mask fills that leak across user segment
+    boundaries. Partitioning assumption: each bucket's rows fit one task
+    (buckets = many users; salt a pathological single hot user by time
+    range if one ever exceeds a task).
+    """
+    from virtuoso_quad_log_ray.stages.shuffle import cluster_cpus
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    nb = max(8, cluster_cpus() * 2)
+    types = pa.array([left_type, right_type], type=pa.string())
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["event_type"], value_set=types))
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "ts": b["ts"],
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                # side 0 = right (as-of source), 1 = left (probe)
+                "side": pc.cast(pc.equal(b["event_type"], left_type), pa.int8()),
+                "_pk": pa.array(uid % nb),
+            }
+        )
+
+    def asof_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.cast(g["ts"], pa.timestamp("us")).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        s = g["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, s, t, u))  # u primary, then ts, rights first, id last
+        u, t, s, eid = u[order], t[order], s[order], eid[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "prev_event_id": pa.array([], type=pa.int64()),
+                }
+            )
+        last_right = np.maximum.accumulate(np.where(s == 0, np.arange(n), -1))
+        # user segment starts (u is sorted): fills must not cross users
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_user, np.arange(n), 0))
+        valid = (s == 1) & (last_right >= seg_start)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[valid]),
+                "prev_event_id": pa.array(eid[last_right[valid]]),
+            }
+        )
+
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pk")
+        .map_groups(asof_bucket, batch_format="pyarrow")
+    )
+
+
+def asof_prev_event_sql(left_type: str = "purchase", right_type: str = "click") -> str:
+    return f"""
+SELECT l.event_id,
+       (array_agg(r.event_id ORDER BY r.ts DESC, r.event_id DESC))[1] AS prev_event_id
+FROM events l
+JOIN events r
+  ON r.user_id = l.user_id AND r.event_type = '{right_type}' AND r.ts <= l.ts
+WHERE l.event_type = '{left_type}'
+GROUP BY l.event_id
+""".strip()
+
+
+ASOF_PREV_EVENT_SQL = asof_prev_event_sql()
