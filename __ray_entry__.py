@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_user_sessions": lambda sf: rel.user_sessions(sf),
         "rel_filtered_events": lambda sf: rel.filtered_event_stats(sf),
         "rel_asof_prev_event": lambda sf: rel.asof_prev_event(sf),
+        "rel_range_window": lambda sf: rel.range_window_counts(sf),
     }
 
 
@@ -132,4 +133,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_user_sessions": rel.USER_SESSIONS_SQL,
         "rel_filtered_events": rel.FILTERED_EVENT_STATS_SQL,
         "rel_asof_prev_event": rel.ASOF_PREV_EVENT_SQL,
+        "rel_range_window": rel.RANGE_WINDOW_COUNTS_SQL,
     }

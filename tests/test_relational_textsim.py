@@ -92,6 +92,12 @@ class TestRelational:
         assert out["event_id"].to_pylist() == [3, 4]
         assert out["prev_event_id"].to_pylist() == [2, 2]
 
+    def test_range_window_counts(self, oracle):
+        assert_matches_oracle(
+            rel.range_window_counts(SF_SMALL), oracle, rel.RANGE_WINDOW_COUNTS_SQL,
+            ["event_id"],
+        )
+
     def test_filtered_events(self, oracle):
         assert_matches_oracle(
             rel.filtered_event_stats(SF_SMALL), oracle, rel.FILTERED_EVENT_STATS_SQL,

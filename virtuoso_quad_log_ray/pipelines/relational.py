@@ -549,3 +549,93 @@ GROUP BY l.event_id
 
 
 ASOF_PREV_EVENT_SQL = asof_prev_event_sql()
+
+
+# --- distributed RANGE join (brief's custom-operator list) -----------------
+
+RANGE_WINDOW_S = 300  # trailing window width
+
+
+def range_window_counts(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    window_s: int = RANGE_WINDOW_S,
+) -> ray.data.Dataset:
+    """Range self-join as a sliding-window count: for every event, how many
+    events of the SAME user fall in (ts - window, ts] (self included, so
+    >= 1). Output (event_id, n_recent).
+
+    Distributed form: hash-bucket by user_id, then per bucket ONE composite
+    sorted array answers every row with two vectorized searchsorteds —
+    key = dense_user_rank * 2^45 + (ts - min_ts in us), so the window
+    [key - window, key] can never cross a user boundary (segment spacing
+    2^45 dwarfs any in-bucket time span). No per-row loop, no O(n*m)
+    pair blowup; partitioning assumption: a bucket's rows fit one task.
+    """
+    from virtuoso_quad_log_ray.stages.shuffle import cluster_cpus
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    nb = max(8, cluster_cpus() * 2)
+    win_us = np.int64(window_s) * 1_000_000
+
+    def keyed(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "ts": b["ts"],
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "_pk": pa.array(uid % nb),
+            }
+        )
+
+    def window_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (
+            pc.cast(g["ts"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "n_recent": pa.array([], type=pa.int64()),
+                }
+            )
+        _, urank = np.unique(u, return_inverse=True)  # dense per-bucket rank
+        key = urank.astype(np.int64) * np.int64(1 << 45) + (t - t.min())
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        # (ts-window, ts] per row: right-inclusive, left-exclusive
+        hi = np.searchsorted(skey, key, side="right")
+        lo = np.searchsorted(skey, key - win_us, side="right")
+        return pa.table(
+            {"event_id": pa.array(eid), "n_recent": pa.array(hi - lo)}
+        )
+
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pk")
+        .map_groups(window_bucket, batch_format="pyarrow")
+    )
+
+
+def range_window_counts_sql(window_s: int = RANGE_WINDOW_S) -> str:
+    return f"""
+SELECT l.event_id, count(*) AS n_recent
+FROM events l
+JOIN events r
+  ON r.user_id = l.user_id
+ AND r.ts > l.ts - INTERVAL {window_s} SECONDS
+ AND r.ts <= l.ts
+GROUP BY l.event_id
+""".strip()
+
+
+RANGE_WINDOW_COUNTS_SQL = range_window_counts_sql()
