@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from virtuoso_quad_log_ray.stages import dedup as dd
     from virtuoso_quad_log_ray.stages import multimodal as mm
     from virtuoso_quad_log_ray.stages import similarity as sim
+    from virtuoso_quad_log_ray.stages import sketches as sk
     from virtuoso_quad_log_ray.stages import textstats as tx
 
     return {
@@ -82,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_filtered_events": lambda sf: rel.filtered_event_stats(sf),
         "rel_asof_prev_event": lambda sf: rel.asof_prev_event(sf),
         "rel_range_window": lambda sf: rel.range_window_counts(sf),
+        # approximate by construction -> rows-only (error bound + exact-merge
+        # property covered in pytest)
+        "sketch_distinct_users": lambda sf: sk.events_distinct_users(sf),
     }
 
 

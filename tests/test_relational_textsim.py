@@ -98,6 +98,30 @@ class TestRelational:
             ["event_id"],
         )
 
+    def test_hll_distinct_users(self, oracle):
+        """HLL sketch: per-type approx distinct users within 5% of exact,
+        deterministic across runs (mergeability is unit-tested in the
+        kernel via split-vs-whole register equality)."""
+        from virtuoso_quad_log_ray.stages.sketches import events_distinct_users
+
+        got = {
+            r["event_type"]: r["approx_distinct"]
+            for r in to_arrow(events_distinct_users(SF_SMALL)).to_pylist()
+        }
+        exact = dict(
+            oracle.sql(
+                "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+            ).fetchall()
+        )
+        assert set(got) == set(exact)
+        for k, n in exact.items():
+            assert abs(got[k] - n) / n <= 0.05, (k, got[k], n)
+        again = {
+            r["event_type"]: r["approx_distinct"]
+            for r in to_arrow(events_distinct_users(SF_SMALL)).to_pylist()
+        }
+        assert again == got  # deterministic
+
     def test_filtered_events(self, oracle):
         assert_matches_oracle(
             rel.filtered_event_stats(SF_SMALL), oracle, rel.FILTERED_EVENT_STATS_SQL,
