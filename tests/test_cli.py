@@ -46,3 +46,23 @@ def test_cli_run_loop(tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "dump[0]:" in out and "sync[1]:" in out
+
+
+def test_cli_export_warc(tmp_path, capsys):
+    """export-warc: pages parquet -> bucketed WARC shards + manifest that
+    round-trip through the corpus reader."""
+    import pyarrow.parquet as pq
+
+    from tests.conftest import to_arrow
+    from virtuoso_quad_log_ray.__main__ import main
+    from virtuoso_quad_log_ray.sources.pages import read_pages
+    from virtuoso_quad_log_ray.sources.warc import read_warc_corpus
+
+    pages = to_arrow(read_pages(SF_SMALL, include_html=True))
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, src)
+    out = str(tmp_path / "warc")
+    assert main(["export-warc", "--pages", src, "--out", out, "--buckets", "4"]) == 0
+    assert f"{len(pages)} records" in capsys.readouterr().out
+    back = to_arrow(read_warc_corpus(out))
+    assert sorted(back["url"].to_pylist()) == sorted(pages["url"].to_pylist())

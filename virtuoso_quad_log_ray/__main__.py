@@ -5,6 +5,7 @@
     python -m virtuoso_quad_log_ray publish --src SINK --pub DIR [--max-files N]
     python -m virtuoso_quad_log_ray materialize --sf DIR --out DIR [--buckets N]
     python -m virtuoso_quad_log_ray run     --sf DIR --out SINK --interval N [--max-runs K]
+    python -m virtuoso_quad_log_ray export-warc --pages TABLE --out DIR [--buckets N]
     python -m virtuoso_quad_log_ray validate --sf DIR [--out SINK]
 
 Each invocation is one bounded run (the reference's poll loop,
@@ -75,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
         "the stored snapshot instead of recomputing the prior crawl",
     )
 
+    w = sub.add_parser(
+        "export-warc", help="pages corpus -> bucketed WARC shards + manifest"
+    )
+    w.add_argument("--pages", required=True, help="pages Parquet file/dir (input_hint schema)")
+    w.add_argument("--out", required=True)
+    w.add_argument("--buckets", type=int, default=None, help="default: adaptive (16/CPU)")
+    w.add_argument("--epoch", default=None)
+
     v = sub.add_parser("validate", help="startup checks only")
     v.add_argument("--sf", required=True)
     v.add_argument("--out", default=None)
@@ -133,6 +142,17 @@ def main(argv: list[str] | None = None) -> int:
                     f"{man.kind}[{man.run_index}]: {man.quad_count} records in "
                     f"{man.file_count} files @ {man.checkpoint}"
                 )
+        elif args.cmd == "export-warc":
+            from virtuoso_quad_log_ray.sources.pages import read_pages_parquet
+            from virtuoso_quad_log_ray.sources.warc import write_warc_corpus
+
+            man = write_warc_corpus(
+                read_pages_parquet(args.pages),
+                args.out,
+                epoch=epoch,
+                n_buckets=args.buckets,
+            )
+            print(f"export-warc: {man.quad_count} records in {man.file_count} shards")
         elif args.cmd == "materialize":
             from virtuoso_quad_log_ray.pipelines.kg import build_quads, dedup_quads
             from virtuoso_quad_log_ray.pipelines.materialize import materialize_quads
