@@ -609,7 +609,19 @@ def range_window_counts(
                 }
             )
         _, urank = np.unique(u, return_inverse=True)  # dense per-bucket rank
-        key = urank.astype(np.int64) * np.int64(1 << 45) + (t - t.min())
+        # user-segment spacing must exceed any in-bucket time span (plus the
+        # window) or [key - window, key] could cross users; size it from the
+        # data instead of assuming, and fail loudly on int64 overflow
+        span = int(t.max() - t.min()) + int(win_us) + 1
+        shift = np.int64(1 << max(45, span.bit_length()))
+        n_users = int(urank.max()) + 1
+        if n_users * int(shift) >= (1 << 62):
+            raise ValueError(
+                f"range join composite key overflow: {n_users} users x "
+                f"2^{int(shift).bit_length() - 1} us span in one bucket — "
+                "raise the bucket count"
+            )
+        key = urank.astype(np.int64) * shift + (t - t.min())
         order = np.argsort(key, kind="stable")
         skey = key[order]
         # (ts-window, ts] per row: right-inclusive, left-exclusive
