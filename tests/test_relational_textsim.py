@@ -122,6 +122,36 @@ class TestRelational:
         }
         assert again == got  # deterministic
 
+    def test_hll_distributed_merge_large_cardinality(self):
+        """The DISTRIBUTED path (per-block partials + max-merge shuffle) at
+        200k distinct values across many blocks stays within the sketch's
+        error bound and equals a single-block run exactly (merge = max)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+        import ray.data
+
+        from virtuoso_quad_log_ray.stages.sketches import hll_distinct
+
+        n = 200_000
+        vals = np.arange(n, dtype=np.int64)
+        keys = np.where(vals % 3 == 0, "a", "b")
+        tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+        many = ray.data.from_arrow(tbl).repartition(16)
+        one = ray.data.from_arrow(tbl).repartition(1)
+        got_many = {
+            r["key"]: r["approx_distinct"]
+            for r in to_arrow(hll_distinct(many, "k", "v")).to_pylist()
+        }
+        got_one = {
+            r["key"]: r["approx_distinct"]
+            for r in to_arrow(hll_distinct(one, "k", "v")).to_pylist()
+        }
+        assert got_many == got_one  # merge-of-partials == single pass
+        exact = {"a": (n + 2) // 3, "b": n - (n + 2) // 3}
+        for k, e in exact.items():
+            assert abs(got_many[k] - e) / e < 0.05, (k, got_many[k], e)
+
     def test_filtered_events(self, oracle):
         assert_matches_oracle(
             rel.filtered_event_stats(SF_SMALL), oracle, rel.FILTERED_EVENT_STATS_SQL,
