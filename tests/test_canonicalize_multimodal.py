@@ -73,6 +73,26 @@ class TestMultimodal:
         assert (off == idx * mm.FRAME_SIZE).all()
         assert len(set(t["url"].to_pylist())) == 537  # >= 1 frame per page
 
+    def test_frame_sampler_large_binary_offsets(self):
+        """ADVICE r3: a large_binary html column (int64 offsets — the block
+        shape of a >2 GB batch) decodes identically to binary, and a
+        non-binary column fails loudly instead of emitting garbage."""
+        sampler = mm.FrameSampler(frame_size=4, stride=2)
+        payloads = [b"a" * 11, b"bcd", b""]
+        urls = ["u1", "u2", "u3"]
+        small = pa.table(
+            {"url": urls, "html": pa.array(payloads, type=pa.binary())}
+        )
+        large = pa.table(
+            {"url": urls, "html": pa.array(payloads, type=pa.large_binary())}
+        )
+        a, b = sampler(small), sampler(large)
+        for col in ("url", "frame_idx", "offset", "digest"):
+            assert a[col].to_pylist() == b[col].to_pylist(), col
+        assert a["frame"].to_pylist() == b["frame"].to_pylist()
+        with pytest.raises(TypeError, match="binary"):
+            sampler(pa.table({"url": ["u"], "html": pa.array(["not-bytes"])}))
+
     def test_decode_stub_raises_without_fake(self):
         stub = mm.ImageDecodeStub()
         with pytest.raises(NotImplementedError):

@@ -105,3 +105,102 @@ class TestBucketAggregate:
             .sort_by([("k1", "ascending"), ("k2", "ascending")])
         )
         assert got.equals(expect)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkewCap:
+    """VERDICT r3 #5: the hot-shingle DF cap exercised END-TO-END through
+    the ngram -> clusters chain on a boilerplate-skewed corpus (the
+    north-rule's named hazard: a shingle shared by every document makes the
+    inverted-index self-join quadratic).
+
+    Fixture pages (10): docs 0-7 each with a unique 8-word body plus one
+    boilerplate sentence shared by ALL pages; doc1 text == doc0 text (true
+    cross-doc duplicate); the pages synthesis adds an exact ?mirror=1 clone
+    of doc0 (doc_id%25==0) and a near-dup ?v=2 of doc1 (doc_id%31==1,
+    text + ' extra')."""
+
+    N_DOCS = 8
+    BOILER = "follow us on our social media channels today"
+
+    def _fixture(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        texts = []
+        for i in range(self.N_DOCS):
+            body = " ".join(f"w{i}x{j}" for j in range(8))
+            texts.append(f"{body} {self.BOILER}")
+        texts[1] = texts[0]  # docs 0 and 1: true duplicates
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(self.N_DOCS), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * self.N_DOCS),
+                "source": pa.array(["t"] * self.N_DOCS),
+            }
+        )
+        pq.write_table(docs, str(sf / "documents.parquet"))
+        return str(sf)
+
+    def test_pair_space_collapses_and_true_dups_survive(self, tmp_path):
+        """At threshold 0 (every co-occurrence is a pair) the uncapped join
+        pairs ALL pages through the boilerplate shingles; with the cap the
+        pair set collapses to the true-duplicate quartet only."""
+        sf = self._fixture(tmp_path)
+        n_pages = self.N_DOCS + 2  # + doc0 mirror + doc1 ?v=2
+
+        uncapped = to_arrow(dd.ngram_jaccard_pairs(sf, threshold=0.0))
+        # boilerplate links every page to every other page: the quadratic
+        # blowup the cap exists to prevent
+        assert len(uncapped) == n_pages * (n_pages - 1) // 2
+
+        capped = to_arrow(
+            dd.ngram_jaccard_pairs(sf, threshold=0.0, max_shingle_freq=self.N_DOCS)
+        )
+        by_pair = dict(
+            zip(
+                zip(capped["url_a"].to_pylist(), capped["url_b"].to_pylist()),
+                capped["jaccard_ppm"].to_pylist(),
+            )
+        )
+        # survivors: only the quartet {doc0, doc0-mirror, doc1, doc1-v2}
+        # still co-occurs -> C(4,2) pairs; docs 2-7 pair with nothing
+        assert len(by_pair) == 6
+
+        def doc(url):
+            return url.split("/")[-1].split("?")[0]
+
+        assert {doc(a) for a, _ in by_pair} | {doc(b) for _, b in by_pair} == {"0", "1"}
+        # identical-text pairs score J=1 on surviving shingles; the ?v=2
+        # near-dup scores high but < 1 (true near-duplicate signal intact)
+        for (a, b), ppm in by_pair.items():
+            if "?v=2" in a or "?v=2" in b:
+                assert 800_000 < ppm < 1_000_000, (a, b, ppm)
+            else:
+                assert ppm == 1_000_000, (a, b, ppm)
+
+    def test_clusters_end_to_end_with_default_cap_config(self, tmp_path):
+        """The full ngram -> connected-components -> canonicalize chain with
+        the cap engaged: the true-dup quartet shares one canon, every
+        boilerplate-only doc stays a singleton."""
+        from virtuoso_quad_log_ray.stages.canonicalize import canonicalize_pages
+
+        sf = self._fixture(tmp_path)
+        canon = to_arrow(canonicalize_pages(sf, max_shingle_freq=self.N_DOCS))
+        by_url = dict(zip(canon["url"].to_pylist(), canon["canon_url"].to_pylist()))
+        assert len(by_url) == self.N_DOCS + 2
+
+        def doc(url):
+            return url.split("/")[-1].split("?")[0]
+
+        clusters = {}
+        for url, c in by_url.items():
+            clusters.setdefault(c, set()).add(url)
+        four = [v for v in clusters.values() if len(v) == 4]
+        assert len(four) == 1 and {doc(u) for u in four[0]} == {"0", "1"}
+        singletons = [v for v in clusters.values() if len(v) == 1]
+        assert len(singletons) == self.N_DOCS - 2
+        assert not [v for v in clusters.values() if len(v) not in (1, 4)]

@@ -152,6 +152,32 @@ class TestRelational:
         for k, e in exact.items():
             assert abs(got_many[k] - e) / e < 0.05, (k, got_many[k], e)
 
+    def test_hll_high_key_cardinality_vectorized_partial(self):
+        """VERDICT r3 #6: the partial scatters ALL keys in one
+        np.maximum.at (no per-unique-key Python). At 12k distinct keys the
+        kernel stays exact vs the scalar reference path: every key with a
+        unique value estimates ~1, and the keyed grid equals per-key
+        _registers() row for row on a sampled subset."""
+        import numpy as np
+
+        from virtuoso_quad_log_ray.stages.sketches import (
+            _keyed_registers,
+            _registers,
+            _splitmix64,
+        )
+
+        n_keys = 12_000
+        per_key = 3
+        vals = np.arange(n_keys * per_key, dtype=np.int64)
+        h = _splitmix64(vals.view(np.uint64))
+        kidx = np.repeat(np.arange(n_keys, dtype=np.int64), per_key)
+        grid = _keyed_registers(h, kidx, n_keys)
+        assert grid.shape == (n_keys, 4096) and grid.dtype == np.uint8
+        # keyed grid == the per-key scalar kernel, sampled across the range
+        for ki in (0, 1, 599, 5_000, 11_999):
+            expect = _registers(h[kidx == ki])
+            assert np.array_equal(grid[ki], expect), ki
+
     def test_filtered_events(self, oracle):
         assert_matches_oracle(
             rel.filtered_event_stats(SF_SMALL), oracle, rel.FILTERED_EVENT_STATS_SQL,
@@ -235,6 +261,52 @@ class TestTextStats:
             "",
         ]
         assert n.to_pylist() == [2, 2, 0, 0]
+
+    def test_redact_batch_null_rows(self):
+        """ADVICE r3: a null text row must yield ('', 0) — not NaN-cast
+        garbage — matching the oracle SQL's coalesce(text, '')."""
+        import pyarrow as pa
+
+        clean, n = tx.redact_batch(
+            pa.array(["a@b.co ok", None, "", None], type=pa.string())
+        )
+        assert clean.to_pylist() == ["<EMAIL> ok", "", "", ""]
+        assert n.to_pylist() == [1, 0, 0, 0]
+
+    def test_text_chunks_null_text_oracle_parity(self, tmp_path, oracle):
+        """ADVICE r3: engine and DuckDB oracle agree on a corpus containing
+        a NULL text row (both treat it as '': one chunk, one empty token)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(["alpha beta", None, ""], type=pa.string()),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["t"] * 3),
+            }
+        )
+        pq.write_table(docs, str(sf / "documents.parquet"))
+        got = (
+            to_arrow(tx.text_chunks(str(sf), chunk_tokens=1))
+            .sort_by([("url", "ascending"), ("chunk_idx", "ascending")])
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = (
+            con.execute(tx.text_chunks_sql(1))
+            .arrow()
+            .sort_by([("url", "ascending"), ("chunk_idx", "ascending")])
+        )
+        assert got.num_rows == want.num_rows
+        for col in ("url", "chunk_idx", "n_toks", "chunk_text"):
+            assert got[col].to_pylist() == want[col].to_pylist(), col
 
     def test_redact_batch_duckdb_parity_property(self):
         """Property: the Arrow RE2 rewrite is byte-identical to DuckDB's for

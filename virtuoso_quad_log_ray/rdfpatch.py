@@ -187,23 +187,28 @@ def render_file_header(checkpoint_ts14: str, graph_iri: str, amount: int) -> str
 
 
 def render_dump_trailer(checkpoint_ts14: str, started: str, completed: str, quad_count: int, file_count: int) -> str:
-    """Dump run trailer (dump_nquads.sql:58-83)."""
+    """Dump run trailer (dump_nquads.sql:58-83), written per run as the
+    ``vql_rdfdump_info.txt`` report (generate-rdfpatch.sh:240-248). Values
+    align at column 19 — the byte layout of the reference's own emitted
+    report (sample/rdf_out_99999999999999-99999999999999), which also keeps
+    every key ≥2 spaces from its value so ``parse_patch_text`` round-trips."""
     return (
-        f"# at checkpoint  {checkpoint_ts14}\n"
-        f"# dump started   {started}\n"
-        f"# dump completed {completed}\n"
-        f"# quad count     {quad_count}\n"
-        f"# file count     {file_count}\n"
+        f"# at checkpoint   {checkpoint_ts14}\n"
+        f"# dump started    {started}\n"
+        f"# dump completed  {completed}\n"
+        f"# quad count      {quad_count}\n"
+        f"# file count      {file_count}\n"
     )
 
 
 def render_sync_trailer(checkpoint_ts14: str, last_source: str, quad_count: int, file_count: int) -> str:
-    """Sync run trailer (parse_trx_logs.sql:69-73)."""
+    """Sync run trailer (parse_trx_logs.sql:69-73); same column-19 value
+    alignment as :func:`render_dump_trailer`."""
     return (
-        f"# at checkpoint  {checkpoint_ts14}\n"
-        f"# last trx log   {last_source}\n"
-        f"# quad count     {quad_count}\n"
-        f"# file count     {file_count}\n"
+        f"# at checkpoint   {checkpoint_ts14}\n"
+        f"# last trx log    {last_source}\n"
+        f"# quad count      {quad_count}\n"
+        f"# file count      {file_count}\n"
     )
 
 

@@ -208,16 +208,21 @@ def connected_components(
 
 
 def canonicalize_pages(
-    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    max_shingle_freq: int | None = None,
 ) -> ray.data.Dataset:
     """(url, canon_url) for EVERY page: component-min url for pages in a
     near-dup cluster (n-gram Jaccard >= threshold; identical texts have J=1
     so exact mirrors cluster too), canon=self for singletons.
 
     The full corpus is touched once, by the final left join; only the dup
-    subgraph iterates.
-    """
-    pairs = ngram_jaccard_pairs(sf_dir, cfg)
+    subgraph iterates. ``max_shingle_freq`` passes the hot-shingle
+    document-frequency cap through to the pair miner — the skew mitigation
+    for boilerplate-heavy corpora (see ngram_jaccard_pairs; exercised
+    end-to-end in tests/test_dedup.py::TestSkewCap)."""
+    pairs = ngram_jaccard_pairs(sf_dir, cfg, max_shingle_freq=max_shingle_freq)
     comp = connected_components(pairs, cfg).materialize()
 
     pages = read_pages(sf_dir, include_html=False).map_batches(

@@ -199,8 +199,9 @@ def ngram_jaccard_pairs(
         # by F documents contributes F^2 join rows. Document frequencies come
         # from a pre-aggregated groupby; the HOT set (freq > cap) is tiny, so
         # it broadcasts into a vectorized is_in filter — no second shuffle.
-        # Documented approximation: J is then computed over non-hot shingles
-        # only (boilerplate carries no dedup signal); the oracle-checked
+        # Documented approximation: J is computed over non-hot shingles only
+        # — numerator AND denominator (boilerplate carries no dedup signal;
+        # identical texts still score J=1 under the cap). The oracle-checked
         # default keeps the cap disabled so results stay exact. The filter
         # key is the 64-bit s1 alone — a collision only drops an extra
         # (boilerplate-adjacent) shingle on this already-approximate path.
@@ -216,10 +217,33 @@ def ngram_jaccard_pairs(
         hot_ref = ray.put(hot_set["s1"].combine_chunks())
 
         def drop_hot(b: pa.Table) -> pa.Table:
-            hs = ray.get(hot_ref)
-            return b.filter(pc.invert(pc.is_in(b["s1"], value_set=hs)))
+            import numpy as np
 
-        rows = rows.map_batches(drop_hot, batch_format="pyarrow", zero_copy_batch=True)
+            hs = ray.get(hot_ref)
+            hot_mask = pc.is_in(b["s1"], value_set=hs)
+            hot_np = hot_mask.to_numpy(zero_copy_only=False)
+            if not hot_np.any():
+                return b
+            # shrink each url's size by its dropped-shingle count so the
+            # downstream J denominator also sees non-hot shingles only.
+            # Correct because every row of a url lives in ONE batch:
+            # explode emits urls contiguously per block, self_join_input
+            # pins those blocks, and batch_size=None maps whole blocks.
+            url = b["url"]
+            if isinstance(url, pa.ChunkedArray):
+                url = url.combine_chunks()
+            enc = url.dictionary_encode()
+            kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dropped = np.bincount(kidx[hot_np], minlength=len(enc.dictionary))
+            new_size = b["size"].to_numpy(zero_copy_only=False) - dropped[kidx]
+            b = b.set_column(
+                b.schema.get_field_index("size"), "size", pa.array(new_size)
+            )
+            return b.filter(pc.invert(hot_mask))
+
+        rows = rows.map_batches(
+            drop_hot, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
     joined = rows.join(
         rows,
         join_type="inner",

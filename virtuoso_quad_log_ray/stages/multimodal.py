@@ -199,7 +199,17 @@ class FrameSampler:
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
         n = len(payload)
-        offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+        # Offset width follows the column type (ADVICE r3): a >2 GB batch
+        # arrives as large_binary with int64 offsets — decoding those as
+        # int32 would silently emit garbage frames. Anything else is a
+        # loud type error.
+        if pa.types.is_binary(payload.type):
+            off_dtype = np.int32
+        elif pa.types.is_large_binary(payload.type):
+            off_dtype = np.int64
+        else:
+            raise TypeError(f"html column must be binary, got {payload.type}")
+        offs = np.frombuffer(payload.buffers()[1], dtype=off_dtype)[
             payload.offset : payload.offset + n + 1
         ].astype(np.int64)
         data = np.frombuffer(payload.buffers()[2], dtype=np.uint8)

@@ -31,6 +31,21 @@ from virtuoso_quad_log_ray.stages.shuffle import (
 )
 
 
+def _centroid_dist2(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared Euclidean distances (n, k) in GEMM form
+    ``||x||^2 - 2 x.c^T + ||c||^2`` (VERDICT r3 #7): one matmul plus two
+    norm vectors, never the (n, k, dim) broadcast temp — at realistic
+    embedding scale (dim 768, k 4096, batch 4096) that temp is ~100 GB.
+    The row-constant ``||x||^2`` term is kept so the result is a true
+    squared distance (callers argmin/argsort; row constants wouldn't change
+    the order, but true values keep the kernel reusable)."""
+    return (
+        np.einsum("ij,ij->i", m, m)[:, None]
+        - 2.0 * (m @ c.T)
+        + np.einsum("ij,ij->i", c, c)[None, :]
+    )
+
+
 def _emb_dim(emb_path: str) -> int:
     """Embedding dimensionality WITHOUT a full-column read (VERDICT r2 #1:
     reading the whole embedding column onto the driver just to measure dim
@@ -229,9 +244,7 @@ def _train_centroids(
         def partials(batch: pa.Table) -> pa.Table:
             c = ray.get(c_ref)
             m = list_matrix(batch["embedding"])
-            assign = np.argmin(
-                ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1
-            )
+            assign = np.argmin(_centroid_dist2(m, c), axis=1)
             # per-dim bincount beats np.add.at (unbuffered scatter) by a
             # wide margin; dim is a small constant
             sums = np.stack(
@@ -290,7 +303,7 @@ def ann_topk_ivf(
     qids, q = _load_queries(sf_dir, n_queries)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     # per-query probed lists (by centroid distance)
-    qd = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    qd = _centroid_dist2(q, centroids)
     probed = np.argsort(qd, axis=1)[:, :n_probe]  # (n_queries, n_probe)
     state_ref = ray.put((qids, qn, centroids, probed))
 
@@ -303,7 +316,7 @@ def ann_topk_ivf(
         order = np.argsort(vec_ids, kind="stable")
         vec_ids = vec_ids[order]
         m = m[order]
-        assign = np.argmin(((m[:, None, :] - c_[None, :, :]) ** 2).sum(axis=2), axis=1)
+        assign = np.argmin(_centroid_dist2(m, c_), axis=1)
         m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
         nq = len(qids_)
         # one GEMM for every query, then mask non-probed lists to -inf:
@@ -360,7 +373,7 @@ def embedding_clusters(
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
         m = list_matrix(batch["embedding"])
-        a = np.argmin(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1)
+        a = np.argmin(_centroid_dist2(m, c), axis=1)
         return pa.table(
             {
                 "vec_id": pc.cast(batch["vec_id"], pa.int64()),

@@ -168,6 +168,11 @@ def redact_batch(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.Array]:
     taken per pattern on the ORIGINAL text (match DuckDB oracle)."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    # Null guard (ADVICE r3): count_substring_regex(null) -> null -> NaN ->
+    # platform-dependent garbage through astype(int64). Fill nulls with ''
+    # (0 matches, '' clean text) — the SQL oracle coalesces identically.
+    if text.null_count:
+        text = pc.fill_null(text, "")
     n_pii = np.zeros(len(text), dtype=np.int64)
     clean = text
     for pattern, token in PII_PATTERNS:
@@ -192,11 +197,13 @@ def redact_pii(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Data
 
 
 def _pii_sql() -> str:
-    clean = "text"
+    # coalesce matches redact_batch's null fill: both sides emit ('', 0)
+    # for a null text row (ADVICE r3 engine/oracle null parity)
+    clean = "coalesce(text, '')"
     counts = []
     for pattern, token in PII_PATTERNS:
         esc = pattern.replace("'", "''")
-        counts.append(f"len(regexp_extract_all(text, '{esc}'))")
+        counts.append(f"len(regexp_extract_all(coalesce(text, ''), '{esc}'))")
         clean = f"regexp_replace({clean}, '{esc}', '{token}', 'g')"
     return (
         "WITH " + PAGES_SQL_CTE + "\n"
@@ -232,6 +239,10 @@ def text_chunks(
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        # null parity with the SQL oracle (ADVICE r3): a null text row is
+        # treated as '' on both sides -> one chunk of one empty token
+        if text.null_count:
+            text = pc.fill_null(text, "")
         tokens = pc.split_pattern(text, " ")
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
@@ -289,7 +300,7 @@ def text_chunks_sql(chunk_tokens: int = CHUNK_TOKENS) -> str:
     k = chunk_tokens
     return (
         "WITH " + PAGES_SQL_CTE + ",\n"
-        "b AS (SELECT url, string_split(text, ' ') AS w FROM pages),\n"
+        "b AS (SELECT url, string_split(coalesce(text, ''), ' ') AS w FROM pages),\n"
         "c AS (\n"
         "    SELECT url, w, unnest(range(0, greatest(1, CAST(ceil("
         f"len(w) / {k}.0) AS BIGINT)))) AS ci\n"
