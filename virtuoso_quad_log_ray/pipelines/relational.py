@@ -207,24 +207,47 @@ def top_orders_sql(n: int = 20) -> str:
 
 def events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1-hour window per event_type: count + sum(value). Window
-    assignment is a vectorized floor_temporal inside map_batches; the only
-    shuffle is the final small groupby."""
+    assignment is a vectorized floor_temporal inside map_batches, which
+    then PRE-AGGREGATES the block with pyarrow's C++ group_by — an
+    hour-contiguous block collapses to ~|hours x types| partial rows, so
+    only partials cross the exchange (the same map-side-combine shape as
+    pricing_summary). The final merge is shuffle.bucket_aggregate keyed on
+    the int64 epoch-hour: Ray's native Aggregate combined the raw rows in
+    Python at ~40-100us/row (measured: 4.1 s remote wall for a 100k-row
+    table, the r3 bench regression's floor), the bucketed C++ combine is
+    O(partials) vectorized."""
+    from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate
+
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def window(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour")
-        return pa.table(
+        hour = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"), pa.timestamp("s"))
+        rows = pa.table(
             {
-                "hour": pc.cast(pc.cast(hour, pa.timestamp("s")), pa.string()),
+                "hour": pc.cast(hour, pa.string()),
                 "event_type": batch["event_type"],
                 "value_c": _cents(batch["value"]),  # per-row cents: exact int Sum
+                "epoch_h": pc.cast(hour, pa.int64()),  # bucket hash key
+            }
+        )
+        part = rows.group_by(["hour", "event_type"]).aggregate(
+            [("value_c", "sum"), ("epoch_h", "min"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "hour": part["hour"],
+                "event_type": part["event_type"],
+                "value_c": part["value_c_sum"],
+                "n": pc.cast(part["count_all"], pa.int64()),
+                "epoch_h": part["epoch_h_min"],
             }
         )
 
-    agg = (
-        ev.map_batches(window, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(), Sum("value_c"))
+    agg = bucket_aggregate(
+        ev.map_batches(window, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour", "event_type"],
+        [("value_c", "sum"), ("n", "sum")],
+        hash_col="epoch_h",
     )
 
     def shape(batch: pa.Table) -> pa.Table:
@@ -232,8 +255,8 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
             {
                 "hour": batch["hour"],
                 "event_type": batch["event_type"],
-                "n_events": pc.cast(batch["count()"], pa.int64()),
-                "sum_value_c": pc.cast(batch["sum(value_c)"], pa.int64()),
+                "n_events": pc.cast(batch["n_sum"], pa.int64()),
+                "sum_value_c": pc.cast(batch["value_c_sum"], pa.int64()),
             }
         )
 
