@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_filtered_events": lambda sf: rel.filtered_event_stats(sf),
         "rel_asof_prev_event": lambda sf: rel.asof_prev_event(sf),
         "rel_range_window": lambda sf: rel.range_window_counts(sf),
+        "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
+        "rel_value_quantiles": lambda sf: rel.value_quantiles(sf),
+        "rel_events_sliding": lambda sf: rel.events_sliding(sf),
         # approximate by construction -> rows-only (error bound + exact-merge
         # property covered in pytest)
         "sketch_distinct_users": lambda sf: sk.events_distinct_users(sf),
@@ -138,4 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_filtered_events": rel.FILTERED_EVENT_STATS_SQL,
         "rel_asof_prev_event": rel.ASOF_PREV_EVENT_SQL,
         "rel_range_window": rel.RANGE_WINDOW_COUNTS_SQL,
+        "rel_top_orders_by_priority": rel.TOP_ORDERS_BY_PRIORITY_SQL,
+        "rel_value_quantiles": rel.VALUE_QUANTILES_SQL,
+        "rel_events_sliding": rel.EVENTS_SLIDING_SQL,
     }

@@ -200,6 +200,61 @@ SCALING_RUNGS = tuple(
 )
 
 
+def _probe_worker(core: int, kind: str, dur: float, q) -> None:
+    os.sched_setaffinity(0, {core})
+    import time as _t
+
+    if kind == "cpu":
+        import hashlib
+
+        buf = b"x" * 65536
+        t0 = _t.perf_counter()
+        n = 0
+        while _t.perf_counter() - t0 < dur:
+            hashlib.sha256(buf).digest()
+            n += 1
+        q.put(n)
+    else:  # membw: streaming copies of an LLC-busting buffer
+        import numpy as np
+
+        a = np.zeros(64 * 1024 * 1024, dtype=np.uint8)
+        t0 = _t.perf_counter()
+        n = 0
+        while _t.perf_counter() - t0 < dur:
+            b = a.copy()
+            del b
+            n += 1
+        q.put(n)
+
+
+def _probe_rate(ncores: int, kind: str, dur: float = 5.0) -> float:
+    from multiprocessing import Process, Queue
+
+    q: "Queue" = Queue()
+    ps = [Process(target=_probe_worker, args=(c, kind, dur, q)) for c in range(ncores)]
+    [p.start() for p in ps]
+    [p.join() for p in ps]
+    return sum(q.get() for _ in ps) / dur
+
+
+def platform_probe(lo: int, hi: int) -> dict:
+    """What fraction of (hi/lo)x the PLATFORM itself delivers between the
+    two pinned core sets, measured with no Ray involved — the normalization
+    context every raw rung number needs on this shared single-bus VM:
+
+    * ``cpu_eff``   — sha256 over a cache-resident buffer (pure core
+      throughput: all-core clocks + hypervisor steal).
+    * ``membw_eff`` — 64 MB streaming copies (the single memory bus all
+      emulated "nodes" share; string-heavy extraction is bandwidth-bound,
+      and a real 4N-node cluster brings 4N buses). Noisy on a shared host
+      by nature — report, don't average away.
+    """
+    ratio = hi / lo
+    cpu = _probe_rate(hi, "cpu") / _probe_rate(lo, "cpu") / ratio
+    mem = _probe_rate(hi, "membw") / _probe_rate(lo, "membw") / ratio
+    return {"cpu_eff": round(cpu, 3), "membw_eff": round(mem, 3)}
+
+
 def run_scaling() -> dict:
     results = []
     for n in SCALING_RUNGS:
@@ -214,6 +269,7 @@ def run_scaling() -> dict:
     low, high = results
     speedup = high["quads_per_sec"] / low["quads_per_sec"]
     efficiency = speedup / (high["num_cpus"] / low["num_cpus"])
+    plat = platform_probe(SCALING_RUNGS[0], SCALING_RUNGS[1])
     return {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(efficiency, 3),
@@ -222,6 +278,13 @@ def run_scaling() -> dict:
         "speedup": round(speedup, 2),
         "replicate": SCALING_REPLICATE,
         "sf": SF_DIR,
+        # raw / cpu_eff: efficiency per unit of compute the box actually
+        # delivered (conservative — does NOT correct for the shared memory
+        # bus, which membw_eff documents separately)
+        "platform": plat,
+        "cpu_normalized_efficiency": round(efficiency / plat["cpu_eff"], 3)
+        if plat["cpu_eff"]
+        else None,
     }
 
 

@@ -410,3 +410,76 @@ class TestSimilarity:
         # rows-only: pairs (possibly none at high threshold); all verified >= tau
         if len(t):
             assert min(t["cos_ppm"].to_pylist()) >= 450_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedTopkQuantilesSliding:
+    def test_top_orders_by_priority(self, oracle):
+        assert_matches_oracle(
+            rel.top_orders_by_priority(SF_SMALL),
+            oracle,
+            rel.TOP_ORDERS_BY_PRIORITY_SQL,
+            ["o_orderpriority", "rank"],
+        )
+
+    def test_top_orders_by_priority_k_rows_per_group(self):
+        t = to_arrow(rel.top_orders_by_priority(SF_SMALL))
+        import collections
+
+        by_pri = collections.Counter(t["o_orderpriority"].to_pylist())
+        assert all(v == rel.TOPK_PER_GROUP for v in by_pri.values())
+        assert sorted(set(t["rank"].to_pylist())) == [1, 2, 3]
+
+    def test_value_quantiles(self, oracle):
+        assert_matches_oracle(
+            rel.value_quantiles(SF_SMALL), oracle, rel.VALUE_QUANTILES_SQL, ["event_type"]
+        )
+
+    def test_value_quantiles_exact_ceil_edge(self, tmp_path, oracle):
+        """q*n integral is the float-hostile case: 0.99 * 100 =
+        99.000000000000014 in doubles, whose ceil picks element 100 instead
+        of 99. The engine's rational arithmetic and DuckDB must both pick
+        the 99th element."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        vals = (np.arange(1, 101) / 100.0)  # value_c = 1..100, one type
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(np.arange(100)),
+                    "ts": pa.array([0] * 100, type=pa.timestamp("us")),
+                    "user_id": pa.array([1] * 100),
+                    "event_type": pa.array(["t"] * 100),
+                    "value": pa.array(vals),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        t = to_arrow(rel.value_quantiles(str(d)))
+        assert t["p99_c"].to_pylist() == [99]
+        assert t["p50_c"].to_pylist() == [50]
+        got = oracle.execute(
+            "SELECT quantile_disc(CAST(round(100*value) AS BIGINT), 0.99) "
+            f"FROM '{d}/events.parquet'"
+        ).fetchone()[0]
+        assert got == 99
+
+    def test_events_sliding(self, oracle):
+        assert_matches_oracle(
+            rel.events_sliding(SF_SMALL), oracle, rel.EVENTS_SLIDING_SQL, ["ws", "event_type"]
+        )
+
+    def test_events_sliding_covers_hourly(self):
+        """Every event lands in exactly window/slide windows, so the total
+        event count across sliding windows is that multiple of the raw
+        count; the on-the-hour windows agree with events_hourly."""
+        import pyarrow.compute as pc
+
+        sl = to_arrow(rel.events_sliding(SF_SMALL))
+        hr = to_arrow(rel.events_hourly(SF_SMALL))
+        factor = rel.HOP_WINDOW_S // rel.HOP_SLIDE_S
+        assert pc.sum(sl["n_events"]).as_py() == factor * pc.sum(hr["n_events"]).as_py()

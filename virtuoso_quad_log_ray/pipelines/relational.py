@@ -674,3 +674,241 @@ GROUP BY l.event_id
 
 
 RANGE_WINDOW_COUNTS_SQL = range_window_counts_sql()
+
+
+# --- grouped top-k (partial top-k combiner, G7 grouped form) --------------
+
+TOPK_PER_GROUP = 3
+
+
+def top_orders_by_priority(sf_dir: str, k: int = TOPK_PER_GROUP) -> ray.data.Dataset:
+    """Top-k orders by totalprice per order priority — the grouped form of
+    the reference's sort/limit idiom (G7, rdfdump.sh's newest-first file
+    ordering) as a distributed partial-top-k combiner: every block keeps at
+    most k rows per group (one C++ sort + run-length slice), so only
+    |groups| x k rows per block cross the exchange; the final per-group
+    merge re-ranks k x |blocks| rows. No global sort at any scale.
+
+    Ordering key is the integer cents price (descending, o_orderkey
+    ascending tie-break) so ties resolve identically in the SQL oracle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def topk_block(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "price_c": _cents(b["o_totalprice"]),
+            }
+        )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("o_orderpriority", "ascending"),
+                ("price_c", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        # rank within each priority run of the sorted block (vectorized
+        # run-length): keep rank < k
+        starts = np.flatnonzero(np.r_[True, pri[1:] != pri[:-1]])
+        run_id = np.cumsum(np.r_[True, pri[1:] != pri[:-1]]) - 1
+        rank = np.arange(len(pri)) - starts[run_id]
+        return t.filter(pa.array(rank < k))
+
+    partial = ds.map_batches(topk_block, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("price_c", "descending"), ("o_orderkey", "ascending")],
+        )
+        t = group.take(idx[: min(k, len(idx))])
+        return t.append_column("rank", pa.array(np.arange(1, len(t) + 1)))
+
+    return partial.groupby("o_orderpriority").map_groups(
+        final_topk, batch_format="pyarrow"
+    )
+
+
+TOP_ORDERS_BY_PRIORITY_SQL = f"""
+SELECT o_orderpriority, o_orderkey, price_c, rank
+FROM (
+    SELECT o_orderpriority,
+           o_orderkey,
+           CAST(round(100 * o_totalprice) AS BIGINT) AS price_c,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY round(100 * o_totalprice) DESC, o_orderkey
+           ) AS rank
+    FROM orders
+)
+WHERE rank <= {TOPK_PER_GROUP}
+""".strip()
+
+
+# --- exact distributed quantiles (counts-merge, A-class) ------------------
+
+QUANTILE_QS = ((0.5, "p50_c"), (0.9, "p90_c"), (0.99, "p99_c"))
+
+
+def value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """EXACT p50/p90/p99 of the integer-cents event value per event_type,
+    computed distributed without a global sort: each block collapses to
+    (event_type, value_c) -> count partials (pyarrow C++ group_by), the
+    bucketed vectorized aggregate merges counts, and one tiny map_groups
+    walks each type's cumulative histogram. Only |distinct values| rows
+    ever cross the exchange — for discretized metrics (cents, ms, token
+    counts) that is data-size-independent, so this scales where a
+    sort-based quantile is an all-to-all.
+
+    Index semantics match DuckDB's quantile_disc: element at
+    ceil(q * n) - 1 (0-based, clamped), computed in EXACT rational
+    arithmetic — float q*n is off by one ulp exactly when q*n is integral
+    (e.g. 0.99 * 100 = 99.000000000000014), which would shift the picked
+    element."""
+    from fractions import Fraction
+
+    from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"event_type": b["event_type"], "value_c": _cents(b["value"])}
+        )
+        part = t.group_by(["event_type", "value_c"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": part["event_type"],
+                "value_c": part["value_c"],
+                "n": pc.cast(part["count_all"], pa.int64()),
+            }
+        )
+
+    merged = bucket_aggregate(
+        ev.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "value_c"],
+        [("n", "sum")],
+        hash_col="value_c",
+    )
+
+    fracs = [(Fraction(str(q)), name) for q, name in QUANTILE_QS]
+
+    def qtile(group: pa.Table) -> pa.Table:
+        vals = group["value_c"].to_numpy(zero_copy_only=False)
+        ns = group["n_sum"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vals)
+        vals, ns = vals[order], ns[order]
+        cum = np.cumsum(ns)
+        n = int(cum[-1])
+        out: dict[str, list] = {"event_type": [group["event_type"][0].as_py()]}
+        for q, name in fracs:
+            target = max(1, -((-q.numerator * n) // q.denominator))  # exact ceil(q*n)
+            out[name] = [int(vals[np.searchsorted(cum, target, side="left")])]
+        return pa.table(out)
+
+    return merged.groupby("event_type").map_groups(qtile, batch_format="pyarrow")
+
+
+VALUE_QUANTILES_SQL = (
+    "SELECT event_type, "
+    + ", ".join(
+        f"quantile_disc(value_c, {q}) AS {name}" for q, name in QUANTILE_QS
+    )
+    + " FROM (SELECT event_type, CAST(round(100 * value) AS BIGINT) AS value_c"
+    " FROM events) GROUP BY event_type"
+)
+
+
+# --- hopping (sliding) window aggregate (T7 windowing, overlap form) ------
+
+HOP_WINDOW_S = 3600
+HOP_SLIDE_S = 1800
+
+
+def events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """Hopping-window count + sum(value): 1-hour windows starting every 30
+    minutes, so each event lands in exactly window_s/slide_s = 2 windows.
+    The fan-out is a vectorized numpy tile inside map_batches (no join
+    against a window table), each block pre-aggregates its (window, type)
+    partials with C++ group_by, and the merge is the bucketed vectorized
+    aggregate keyed on the int64 window start — the same
+    map-side-combine shape as events_hourly, with the overlap factor paid
+    before the combine so the exchange still carries only partials.
+
+    Window starts are int64 epoch seconds (aligned to slide boundaries) on
+    both engine and oracle — no timestamp rendering in the compare."""
+    from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    win, slide = HOP_WINDOW_S, HOP_SLIDE_S
+    n_hops = win // slide
+
+    def fanout(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        w0 = (us // (slide * 1_000_000)) * slide  # newest window containing the event
+        starts = np.concatenate([w0 - i * slide for i in range(n_hops)])
+        rep = np.tile(np.arange(len(us)), n_hops)
+        t = pa.table(
+            {
+                "ws": pa.array(starts),
+                "event_type": pc.take(b["event_type"], pa.array(rep)),
+                "value_c": pc.take(pa.chunked_array([_cents(b["value"])]), pa.array(rep)),
+            }
+        )
+        part = t.group_by(["ws", "event_type"]).aggregate(
+            [("value_c", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "ws": part["ws"],
+                "event_type": part["event_type"],
+                "value_c": part["value_c_sum"],
+                "n": pc.cast(part["count_all"], pa.int64()),
+            }
+        )
+
+    agg = bucket_aggregate(
+        ev.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True),
+        ["ws", "event_type"],
+        [("value_c", "sum"), ("n", "sum")],
+        hash_col="ws",
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ws": batch["ws"],
+                "event_type": batch["event_type"],
+                "n_events": pc.cast(batch["n_sum"], pa.int64()),
+                "sum_value_c": pc.cast(batch["value_c_sum"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EVENTS_SLIDING_SQL = f"""
+SELECT ws, event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(100 * value) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM (
+    SELECT unnest([
+               CAST(floor(epoch(ts) / {HOP_SLIDE_S}) AS BIGINT) * {HOP_SLIDE_S},
+               CAST(floor(epoch(ts) / {HOP_SLIDE_S}) AS BIGINT) * {HOP_SLIDE_S} - {HOP_SLIDE_S}
+           ]) AS ws,
+           event_type,
+           value
+    FROM events
+)
+GROUP BY ws, event_type
+""".strip()

@@ -90,10 +90,17 @@ DEDUP_PAGES_EXACT_SQL = (
 # shingles (shared by ngram / minhash)
 # ---------------------------------------------------------------------------
 
-def _shingle_rows(sf_dir: str, n: int) -> ray.data.Dataset:
+def _shingle_rows(sf_dir: str, n: int, hot_ref=None) -> ray.data.Dataset:
     """pages -> rows (url, s1, s2, size): one row per distinct (doc, shingle),
     where (s1, s2) is the shingle's 128-bit content hash and size =
     |distinct shingles| of the doc.
+
+    ``hot_ref`` (an ``ray.put`` int64 array of hot s1 values) applies the
+    hot-shingle DF cap IN-TASK: hot rows are dropped and each doc's size
+    counts non-hot shingles only, while the whole doc is still in one
+    task-local table — correct by construction at any block size (a
+    post-hoc batch filter would miscount sizes whenever Ray's dynamic
+    block splitting cuts a doc's run in two).
 
     The shingle TEXT never leaves the exploding task — the inverted-index
     self-join runs on two fixed-width int64 key columns (16 bytes/row
@@ -148,14 +155,25 @@ def _shingle_rows(sf_dir: str, n: int) -> ray.data.Dataset:
         size_by_row[counts["i"].to_numpy().astype(np.int64)] = counts[
             "shingle_count"
         ].to_numpy()
-        idx = distinct["i"]
+        idx_np = distinct["i"].to_numpy().astype(np.int64)
         s1, s2 = _hash128(distinct["shingle"])
+        if hot_ref is not None:
+            hs = ray.get(hot_ref)
+            hot_mask = pc.is_in(pa.array(s1), value_set=hs).to_numpy(
+                zero_copy_only=False
+            )
+            if hot_mask.any():
+                # non-hot sizes: subtract each doc's dropped-shingle count
+                # BEFORE filtering, while all its rows are in this task
+                size_by_row -= np.bincount(idx_np[hot_mask], minlength=len(batch))
+                keep = ~hot_mask
+                idx_np, s1, s2 = idx_np[keep], s1[keep], s2[keep]
         return pa.table(
             {
-                "url": pc.take(url, idx),
+                "url": pc.take(url, pa.array(idx_np)),
                 "s1": pa.array(s1),
                 "s2": pa.array(s2),
-                "size": pa.array(size_by_row[idx.to_numpy().astype(np.int64)]),
+                "size": pa.array(size_by_row[idx_np]),
             }
         )
 
@@ -181,7 +199,33 @@ def ngram_jaccard_pairs(
     """
     tau = threshold if threshold is not None else cfg.jaccard_threshold
     n = shingle_size if shingle_size is not None else cfg.shingle_size
-    rows = self_join_input(_shingle_rows(sf_dir, n))
+    hot_ref = None
+    if max_shingle_freq is not None:
+        # Hot-key cap (north_rule skew hazard): a boilerplate shingle shared
+        # by F documents contributes F^2 join rows. Document frequencies come
+        # from pass 1 — a streaming explode feeding one count aggregate,
+        # nothing materialized; the HOT set (freq > cap) is tiny, so it
+        # broadcasts into the pass-2 explode, which drops hot rows and
+        # shrinks doc sizes IN-TASK (see _shingle_rows: correct at any
+        # block size, and the worst-case uncapped row table is never
+        # pinned). Documented approximation: J is computed over non-hot
+        # shingles only — numerator AND denominator (boilerplate carries no
+        # dedup signal; identical texts still score J=1 under the cap). The
+        # oracle-checked default keeps the cap disabled so results stay
+        # exact. The filter key is the 64-bit s1 alone — a collision only
+        # drops an extra (boilerplate-adjacent) shingle on this
+        # already-approximate path.
+        freq = _shingle_rows(sf_dir, n).groupby(["s1", "s2"]).count()
+        hot = freq.map_batches(
+            lambda b: b.filter(pc.greater(b["count()"], max_shingle_freq)).select(["s1"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        hot_set = pa.concat_tables(
+            [t for t in (ray.get(r) for r in hot.to_arrow_refs()) if t.num_columns]
+        ).combine_chunks()
+        hot_ref = ray.put(hot_set["s1"].combine_chunks())
+    rows = self_join_input(_shingle_rows(sf_dir, n, hot_ref=hot_ref))
     if rows.count() == 0:
         # Ray's hash join cannot resolve key fields over a fully empty
         # (schema-less) input; an empty corpus short-circuits here
@@ -193,56 +237,6 @@ def ngram_jaccard_pairs(
                     "jaccard_ppm": pa.array([], type=pa.int64()),
                 }
             )
-        )
-    if max_shingle_freq is not None:
-        # Hot-key cap (north_rule skew hazard): a boilerplate shingle shared
-        # by F documents contributes F^2 join rows. Document frequencies come
-        # from a pre-aggregated groupby; the HOT set (freq > cap) is tiny, so
-        # it broadcasts into a vectorized is_in filter — no second shuffle.
-        # Documented approximation: J is computed over non-hot shingles only
-        # — numerator AND denominator (boilerplate carries no dedup signal;
-        # identical texts still score J=1 under the cap). The oracle-checked
-        # default keeps the cap disabled so results stay exact. The filter
-        # key is the 64-bit s1 alone — a collision only drops an extra
-        # (boilerplate-adjacent) shingle on this already-approximate path.
-        freq = rows.groupby(["s1", "s2"]).count()
-        hot = freq.map_batches(
-            lambda b: b.filter(pc.greater(b["count()"], max_shingle_freq)).select(["s1"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        hot_set = pa.concat_tables(
-            [t for t in (ray.get(r) for r in hot.to_arrow_refs()) if t.num_columns]
-        ).combine_chunks()
-        hot_ref = ray.put(hot_set["s1"].combine_chunks())
-
-        def drop_hot(b: pa.Table) -> pa.Table:
-            import numpy as np
-
-            hs = ray.get(hot_ref)
-            hot_mask = pc.is_in(b["s1"], value_set=hs)
-            hot_np = hot_mask.to_numpy(zero_copy_only=False)
-            if not hot_np.any():
-                return b
-            # shrink each url's size by its dropped-shingle count so the
-            # downstream J denominator also sees non-hot shingles only.
-            # Correct because every row of a url lives in ONE batch:
-            # explode emits urls contiguously per block, self_join_input
-            # pins those blocks, and batch_size=None maps whole blocks.
-            url = b["url"]
-            if isinstance(url, pa.ChunkedArray):
-                url = url.combine_chunks()
-            enc = url.dictionary_encode()
-            kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            dropped = np.bincount(kidx[hot_np], minlength=len(enc.dictionary))
-            new_size = b["size"].to_numpy(zero_copy_only=False) - dropped[kidx]
-            b = b.set_column(
-                b.schema.get_field_index("size"), "size", pa.array(new_size)
-            )
-            return b.filter(pc.invert(hot_mask))
-
-        rows = rows.map_batches(
-            drop_hot, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
     joined = rows.join(
         rows,
