@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_filtered_events": lambda sf: rel.filtered_event_stats(sf),
         "rel_asof_prev_event": lambda sf: rel.asof_prev_event(sf),
         "rel_range_window": lambda sf: rel.range_window_counts(sf),
+        "text_sample_stratified": lambda sf: tx.sample_stratified(sf),
+        "text_contamination": lambda sf: tx.contamination(sf),
         "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
         "rel_value_quantiles": lambda sf: rel.value_quantiles(sf),
         "rel_events_sliding": lambda sf: rel.events_sliding(sf),
@@ -141,6 +143,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_filtered_events": rel.FILTERED_EVENT_STATS_SQL,
         "rel_asof_prev_event": rel.ASOF_PREV_EVENT_SQL,
         "rel_range_window": rel.RANGE_WINDOW_COUNTS_SQL,
+        "text_sample_stratified": tx.sample_stratified_sql(),
+        "text_contamination": tx.contamination_sql(),
         "rel_top_orders_by_priority": rel.TOP_ORDERS_BY_PRIORITY_SQL,
         "rel_value_quantiles": rel.VALUE_QUANTILES_SQL,
         "rel_events_sliding": rel.EVENTS_SLIDING_SQL,

@@ -483,3 +483,46 @@ class TestGroupedTopkQuantilesSliding:
         hr = to_arrow(rel.events_hourly(SF_SMALL))
         factor = rel.HOP_WINDOW_S // rel.HOP_SLIDE_S
         assert pc.sum(sl["n_events"]).as_py() == factor * pc.sum(hr["n_events"]).as_py()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSamplingContamination:
+    def test_sample_stratified(self, oracle):
+        assert_matches_oracle(
+            tx.sample_stratified(SF_SMALL), oracle, tx.sample_stratified_sql(), ["url"]
+        )
+
+    def test_sample_rates_respected(self):
+        """Kept fraction per language tracks the configured permille (the
+        md5 selector is uniform), and the sample is deterministic."""
+        a = to_arrow(tx.sample_stratified(SF_SMALL))
+        b = to_arrow(tx.sample_stratified(SF_SMALL))
+        assert sorted(a["url"].to_pylist()) == sorted(b["url"].to_pylist())
+        keep_all = to_arrow(
+            tx.sample_stratified(SF_SMALL, rates={"en": 1000})
+        )
+        import duckdb
+
+        total = duckdb.sql(
+            f"SELECT count(*) FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchone()[0]
+        assert len(keep_all) >= total  # every page kept (plus clones)
+
+    def test_contamination(self, oracle):
+        assert_matches_oracle(
+            tx.contamination(SF_SMALL), oracle, tx.contamination_sql(), ["url"]
+        )
+
+    def test_contamination_bounds_and_exclusion(self):
+        t = to_arrow(tx.contamination(SF_SMALL))
+        ppm = t["contam_ppm"].to_pylist()
+        assert all(0 <= p <= 1_000_000 for p in ppm)
+        n_sh = t["n_shingles"].to_pylist()
+        n_c = t["n_contaminated"].to_pylist()
+        assert all(0 <= c <= s for c, s in zip(n_c, n_sh))
+        # no eval-shard url appears in the train-side report
+        import hashlib
+
+        for u in t["url"].to_pylist():
+            sel = int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big")
+            assert sel % tx.EVAL_SHARDS != 0

@@ -711,3 +711,230 @@ def lang_id(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset
         fn_constructor_kwargs={"profiles_ref": profiles_ref},
         **actor_kwargs(batch_size=1024),
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling + train/eval decontamination
+# ---------------------------------------------------------------------------
+
+def _md5_prefix_int(urls: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """First 4 digest bytes of md5(url) as int64 — the content-addressed
+    selector every deterministic-sampling/sharding op shares with its SQL
+    oracle (``CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT)``). Python
+    loop over urls by oracle-pinned necessity (same accepted residual as
+    shard_plan: DuckDB's md5 must match byte-for-byte, so no vectorized
+    replacement hash is admissible)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big")
+            for u in urls.to_pylist()
+        ),
+        dtype=np.int64,
+        count=len(urls),
+    )
+
+
+SAMPLE_RATES_PERMILLE = {"en": 500, "zh": 800}
+SAMPLE_DEFAULT_PERMILLE = 1000
+
+
+def sample_stratified(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    rates: dict[str, int] | None = None,
+) -> ray.data.Dataset:
+    """Deterministic per-language downsampling: keep a page iff
+    ``md5(url) % 1000 < rate_permille[lang]`` — the standard rebalancing
+    step of a multilingual pretraining mix (downsample overrepresented
+    languages, keep the tail whole). Content-addressed, so the sample is
+    stable across runs, resumes, and cluster sizes — no RNG state to
+    coordinate. Pure streaming map, no shuffle at any scale.
+
+    Output: (url, lang) of the kept pages."""
+    rates = SAMPLE_RATES_PERMILLE if rates is None else rates
+    langs = pa.array(list(rates.keys()), type=pa.string())
+    rate_arr = np.fromiter(rates.values(), dtype=np.int64, count=len(rates))
+
+    pages = read_pages(sf_dir, include_html=False)
+
+    def keep(b: pa.Table) -> pa.Table:
+        sel = _md5_prefix_int(b["url"]) % 1000
+        li = pc.index_in(b["lang"], value_set=langs)
+        li_np = li.to_numpy(zero_copy_only=False)
+        row_rate = np.where(
+            np.isnan(li_np.astype(np.float64)),
+            SAMPLE_DEFAULT_PERMILLE,
+            rate_arr[np.nan_to_num(li_np).astype(np.int64)],
+        )
+        return pa.table({"url": b["url"], "lang": b["lang"]}).filter(
+            pa.array(sel < row_rate)
+        )
+
+    return pages.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_stratified_sql(rates: dict[str, int] | None = None) -> str:
+    rates = SAMPLE_RATES_PERMILLE if rates is None else rates
+    case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in rates.items())
+        + f" ELSE {SAMPLE_DEFAULT_PERMILLE} END"
+    )
+    return (
+        "WITH " + PAGES_SQL_CTE + "\n"
+        "SELECT url, lang FROM pages\n"
+        f"WHERE CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 1000 < {case}"
+    )
+
+
+EVAL_SHARDS = 16  # md5-shard 0 of 16 is the held-out eval slice
+
+
+def contamination(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Train/eval decontamination scan (the GPT-3/Pile n-gram overlap
+    check): the corpus' md5-shard 0 is the held-out eval slice; for every
+    TRAIN page, report how many of its distinct word shingles appear
+    anywhere in the eval slice.
+
+    Distributed shape — no broadcast of the eval set (at 10^12-doc scale
+    even an eval slice outgrows a task heap): the compact 16-byte shingle
+    table (dedup._shingle_rows) is materialized ONCE and read twice; the
+    eval side collapses to distinct shingle keys (bucketed C++ aggregate);
+    one left-outer hash join marks each train shingle row hit/miss; a
+    bucketed per-url aggregate folds hits into
+    ``contam_ppm = round(1e6 * |hit shingles| / |shingles|)``. Every join
+    key is the fixed-width 128-bit shingle hash.
+
+    Output: (url, n_shingles, n_contaminated, contam_ppm) for every train
+    page with at least one shingle."""
+    from virtuoso_quad_log_ray.stages.dedup import _shingle_rows
+    from virtuoso_quad_log_ray.stages.shuffle import (
+        bucket_aggregate,
+        join_kwargs,
+        self_join_input,
+    )
+
+    n = cfg.shingle_size
+
+    def keyed(b: pa.Table) -> pa.Table:
+        uh = _md5_prefix_int(b["url"])
+        return b.append_column("uh", pa.array(uh)).append_column(
+            "shard", pa.array(uh % EVAL_SHARDS)
+        )
+
+    rows = self_join_input(
+        _shingle_rows(sf_dir, n).map_batches(
+            keyed, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    _EMPTY = pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "n_shingles": pa.array([], type=pa.int64()),
+            "n_contaminated": pa.array([], type=pa.int64()),
+            "contam_ppm": pa.array([], type=pa.int64()),
+        }
+    )
+    if rows.count() == 0:
+        return ray.data.from_arrow(_EMPTY)
+
+    def only(shard_eq: bool):
+        def f(b: pa.Table) -> pa.Table:
+            mask = pc.equal(b["shard"], 0)
+            return b.filter(mask if shard_eq else pc.invert(mask))
+
+        return f
+
+    eval_rows = rows.map_batches(only(True), batch_format="pyarrow", zero_copy_batch=True)
+    train = rows.map_batches(only(False), batch_format="pyarrow", zero_copy_batch=True)
+
+    eval_keys = bucket_aggregate(
+        eval_rows, ["s1", "s2"], [("url", "count")], hash_col="s1"
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "s1": b["s1"],
+                "s2": b["s2"],
+                "hit": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _EMPTY
+        size = b["size_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cont = (
+            pc.fill_null(b["hit_sum"], 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "url": b["url"],
+                "n_shingles": pa.array(size),
+                "n_contaminated": pa.array(cont),
+                "contam_ppm": pa.array(half_away_int64(1e6 * cont / size)),
+            }
+        )
+
+    if eval_keys.count() == 0:
+        # no eval pages shingled -> every train page is trivially clean
+        per_url = bucket_aggregate(
+            train, ["url"], [("size", "min")], hash_col="uh"
+        )
+        return per_url.map_batches(
+            lambda b: pa.table(
+                {
+                    "url": b["url"],
+                    "n_shingles": pc.cast(b["size_min"], pa.int64()),
+                    "n_contaminated": pa.array(np.zeros(len(b), dtype=np.int64)),
+                    "contam_ppm": pa.array(np.zeros(len(b), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    joined = train.join(
+        eval_keys,
+        join_type="left_outer",
+        on=("s1", "s2"),
+        **join_kwargs(cfg),
+    )
+    per_url = bucket_aggregate(
+        joined, ["url"], [("size", "min"), ("hit", "sum")], hash_col="uh"
+    )
+    return per_url.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def contamination_sql(shingle_size: int | None = None) -> str:
+    n = shingle_size if shingle_size is not None else DEFAULT_CONFIG.shingle_size
+    gram = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]" for k in range(n))
+    return (
+        "WITH " + PAGES_SQL_CTE + ",\n"
+        "shingled AS (\n"
+        "    SELECT url, list_distinct(list_transform(\n"
+        f"        range(1, len(w) - {n - 2}), i -> {gram})) AS sh\n"
+        "    FROM (SELECT url, string_split(text, ' ') AS w FROM pages)\n"
+        "),\n"
+        "sets AS (\n"
+        "    SELECT url, len(sh) AS size, unnest(sh) AS shingle,\n"
+        f"           CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % {EVAL_SHARDS} AS shard\n"
+        "    FROM shingled\n"
+        "),\n"
+        "eval_sh AS (SELECT DISTINCT shingle FROM sets WHERE shard = 0),\n"
+        "train AS (SELECT * FROM sets WHERE shard <> 0)\n"
+        "SELECT t.url,\n"
+        "       min(t.size) AS n_shingles,\n"
+        "       count(e.shingle) AS n_contaminated,\n"
+        "       CAST(round(1e6 * count(e.shingle) / min(t.size)) AS BIGINT) AS contam_ppm\n"
+        "FROM train t LEFT JOIN eval_sh e ON t.shingle = e.shingle\n"
+        "GROUP BY t.url"
+    )
