@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_window": lambda sf: rel.range_window_counts(sf),
         "text_sample_stratified": lambda sf: tx.sample_stratified(sf),
         "text_contamination": lambda sf: tx.contamination(sf),
+        "text_pack_plan": lambda sf: tx.pack_plan(sf),
         "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
         "rel_value_quantiles": lambda sf: rel.value_quantiles(sf),
         "rel_events_sliding": lambda sf: rel.events_sliding(sf),
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_range_window": rel.RANGE_WINDOW_COUNTS_SQL,
         "text_sample_stratified": tx.sample_stratified_sql(),
         "text_contamination": tx.contamination_sql(),
+        "text_pack_plan": tx.pack_plan_sql(),
         "rel_top_orders_by_priority": rel.TOP_ORDERS_BY_PRIORITY_SQL,
         "rel_value_quantiles": rel.VALUE_QUANTILES_SQL,
         "rel_events_sliding": rel.EVENTS_SLIDING_SQL,

@@ -526,3 +526,35 @@ class TestSamplingContamination:
         for u in t["url"].to_pylist():
             sel = int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big")
             assert sel % tx.EVAL_SHARDS != 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPackPlan:
+    def test_pack_plan(self, oracle):
+        assert_matches_oracle(
+            tx.pack_plan(SF_SMALL), oracle, tx.pack_plan_sql(), ["url"]
+        )
+
+    def test_pack_plan_invariants(self):
+        """Every page planned exactly once; within a shard, bin ids are
+        nondecreasing in url order and consecutive (no empty bins); start
+        offsets reconstruct from n_tokens."""
+        import collections
+
+        t = to_arrow(tx.pack_plan(SF_SMALL))
+        urls = t["url"].to_pylist()
+        assert len(urls) == len(set(urls))
+        by_shard = collections.defaultdict(list)
+        for u, s, n, b in zip(
+            urls, t["shard"].to_pylist(), t["n_tokens"].to_pylist(), t["bin_id"].to_pylist()
+        ):
+            by_shard[s].append((u, n, b))
+        for s, rows in by_shard.items():
+            rows.sort()
+            start = 0
+            prev_bin = 0
+            for u, n, b in rows:
+                assert b == start // tx.PACK_BUDGET_TOKENS
+                assert prev_bin <= b <= prev_bin + max(1, n // tx.PACK_BUDGET_TOKENS + 1)
+                prev_bin = b
+                start += n

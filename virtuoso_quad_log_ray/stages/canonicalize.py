@@ -49,18 +49,21 @@ from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate, join_kwargs
 def _min_label(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(node, label) rows -> one (node, min label) row per node.
 
-    Bucketed vectorized aggregate (shuffle.bucket_aggregate): nodes are
-    url strings, so a vectorized 64-bit content hash column provides the
-    bucket key; the combine is one C++ hash aggregation per bucket — Ray's
-    native Min aggregate combines per row in Python (measured ~100us/row).
+    Bucketed vectorized aggregate (shuffle.bucket_aggregate): when nodes
+    are url strings a vectorized 64-bit content hash column provides the
+    bucket key; for int64 node ids (the fixpoint's internal form, see
+    connected_components) the id itself is the bucket key. The combine is
+    one C++ hash aggregation per bucket — Ray's native Min aggregate
+    combines per row in Python (measured ~100us/row).
     """
 
     def add_h(b: pa.Table) -> pa.Table:
+        node_t = b.schema.field("node").type
         if len(b) == 0:
             return pa.table(
                 {
-                    "node": pa.array([], type=pa.string()),
-                    "label": pa.array([], type=pa.string()),
+                    "node": pa.array([], type=node_t),
+                    "label": pa.array([], type=b.schema.field("label").type),
                     "nh": pa.array([], type=pa.int64()),
                 }
             )
@@ -68,8 +71,12 @@ def _min_label(ds: ray.data.Dataset) -> ray.data.Dataset:
         # hot-key (giant component) mitigation for an associative min
         g = b.select(["node", "label"]).group_by(["node"]).aggregate([("label", "min")])
         t = pa.table({"node": g["node"], "label": g["label_min"]})
-        h1, _ = _hash128(t["node"])
-        return t.append_column("nh", pa.array(h1))
+        if pa.types.is_integer(node_t):
+            nh = pc.cast(t["node"], pa.int64())
+        else:
+            h1, _ = _hash128(t["node"])
+            nh = pa.array(h1)
+        return t.append_column("nh", nh)
 
     keyed = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
     agg = bucket_aggregate(keyed, ["node"], [("label", "min")], hash_col="nh")
@@ -77,6 +84,43 @@ def _min_label(ds: ray.data.Dataset) -> ray.data.Dataset:
         lambda b: pa.table({"node": b["node"], "label": b["label_min"]}),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def _rank_nodes(distinct_nodes: ray.data.Dataset) -> ray.data.Dataset:
+    """(node) string Dataset -> (node, nid) with nid = dense 0-based rank
+    in ascending node order — a distributed zip-with-index.
+
+    Rank order == url order, so ``min nid`` over a component IS its min
+    url: the fixpoint can propagate 8-byte ids and still produce the
+    lexicographic canon. Ray Data has no scan/rank operator, so this drops
+    to raw tasks for exactly the part the Dataset API can't express: after
+    a sort, per-block row COUNTS (metadata, one int per block) come back
+    to the driver, a cumsum turns them into block offsets, and one tiny
+    task per block appends offset+arange. Block payloads never touch the
+    driver."""
+    import numpy as np
+
+    sorted_nodes = distinct_nodes.sort("node").materialize()
+    refs = sorted_nodes.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _n(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote(num_cpus=0.25)
+    def _with_ids(t: pa.Table, off: int) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "nid": pa.array(np.arange(off, off + t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = ray.get([_n.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1])]) if counts else []
+    return ray.data.from_arrow_refs(
+        [_with_ids.remote(r, int(o)) for r, o in zip(refs, offsets)]
     )
 
 
@@ -134,21 +178,70 @@ def connected_components(
         )
         return ray.data.from_arrow(table)
 
+    # ---- int-id translation (round-4): the fixpoint below shuffles its
+    # edge+label rows EVERY round, so node identity is first densely
+    # re-keyed to an int64 rank in url order (_rank_nodes): exchange rows
+    # shrink from two ~100-byte urls to 16 bytes, joins and group_bys key
+    # on fixed-width ints, and — because rank order == url order —
+    # ``min nid`` still yields the lexicographic canon url. Strings cross
+    # a shuffle exactly three times total (two edge-translation joins in,
+    # one label-translation join out), independent of round count.
+    def endpoint_nodes(b: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [
+                b["url_a"].combine_chunks().cast(pa.string()),
+                b["url_b"].combine_chunks().cast(pa.string()),
+            ]
+        )
+        return pa.table({"node": nodes, "label": nodes})
+
+    distinct_nodes = _min_label(
+        pairs.map_batches(endpoint_nodes, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(
+        lambda b: b.select(["node"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    node_ids = _rank_nodes(distinct_nodes).materialize()  # (node, nid)
+
+    jk = join_kwargs(cfg)
+    int_pairs = pairs.join(
+        node_ids.map_batches(
+            lambda b: pa.table({"url_a": b["node"], "aid": b["nid"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        join_type="inner",
+        on=("url_a",),
+        **jk,
+    ).join(
+        node_ids.map_batches(
+            lambda b: pa.table({"url_b": b["node"], "bid": b["nid"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        join_type="inner",
+        on=("url_b",),
+        **jk,
+    )
+
     def symmetrize(b: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "src": pa.concat_arrays(
-                    [b["url_a"].combine_chunks().cast(pa.string()),
-                     b["url_b"].combine_chunks().cast(pa.string())]
+                    [
+                        b["aid"].combine_chunks().cast(pa.int64()),
+                        b["bid"].combine_chunks().cast(pa.int64()),
+                    ]
                 ),
                 "dst": pa.concat_arrays(
-                    [b["url_b"].combine_chunks().cast(pa.string()),
-                     b["url_a"].combine_chunks().cast(pa.string())]
+                    [
+                        b["bid"].combine_chunks().cast(pa.int64()),
+                        b["aid"].combine_chunks().cast(pa.int64()),
+                    ]
                 ),
             }
         )
 
-    edges = pairs.map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True)
+    edges = int_pairs.map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True)
     edges = edges.materialize()  # reused every round; pin once
 
     # labels0: every endpoint labeled with itself (distinct via groupby)
@@ -200,10 +293,34 @@ def connected_components(
         if changed == 0:
             break
 
-    return labels.map_batches(
-        lambda b: pa.table({"url": b["node"], "canon": b["label"]}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # translate (nid, min nid) back to (url, canon url): one join per side
+    # against the metadata-sized id table
+    return (
+        labels.join(
+            node_ids.map_batches(
+                lambda b: pa.table({"node_url": b["node"], "node": b["nid"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            join_type="inner",
+            on=("node",),
+            **jk,
+        )
+        .join(
+            node_ids.map_batches(
+                lambda b: pa.table({"canon": b["node"], "label": b["nid"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            join_type="inner",
+            on=("label",),
+            **jk,
+        )
+        .map_batches(
+            lambda b: pa.table({"url": b["node_url"], "canon": b["canon"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
 
 

@@ -938,3 +938,84 @@ def contamination_sql(shingle_size: int | None = None) -> str:
         "FROM train t LEFT JOIN eval_sh e ON t.shingle = e.shingle\n"
         "GROUP BY t.url"
     )
+
+
+# ---------------------------------------------------------------------------
+# context-window packing plan (concat-and-chunk pretraining packing)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 256
+PACK_SHARDS = 16
+
+
+def pack_plan(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    budget: int = PACK_BUDGET_TOKENS,
+    n_shards: int = PACK_SHARDS,
+) -> ray.data.Dataset:
+    """Concat-and-chunk packing plan: within each md5 shard, documents are
+    laid end-to-end in url order and each doc is assigned to the training
+    bin its FIRST token falls in (``bin_id = start_offset // budget``) —
+    the standard pretraining packing layout (docs concatenated, stream cut
+    into fixed windows), as a deterministic plan table.
+
+    Distributed shape: the heavy part (token counting) is a streaming
+    map over text blocks; the plan rows that reach the per-shard prefix
+    scan are METADATA (url + two ints, no text), so a shard group of
+    |corpus|/n_shards rows is orders of magnitude smaller than the corpus
+    — size ``n_shards`` so a group's plan rows fit a task (the same dial
+    as the adjacency buckets, pipelines/materialize.py). Per-shard scan =
+    one C++ sort + one numpy cumsum.
+
+    Output: (url, shard, n_tokens, bin_id)."""
+    pages = read_pages(sf_dir, include_html=False)
+
+    def counted(b: pa.Table) -> pa.Table:
+        uh = _md5_prefix_int(b["url"])
+        return pa.table(
+            {
+                "url": b["url"],
+                "shard": pa.array(uh % n_shards),
+                "n_tokens": pc.cast(
+                    pc.list_value_length(pc.split_pattern(b["text"], " ")), pa.int64()
+                ),
+            }
+        )
+
+    def scan(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group["url"])
+        g = group.take(order)
+        ntok = g["n_tokens"].to_numpy(zero_copy_only=False)
+        start = np.cumsum(ntok) - ntok  # exclusive prefix sum = start offset
+        return pa.table(
+            {
+                "url": g["url"],
+                "shard": g["shard"],
+                "n_tokens": g["n_tokens"],
+                "bin_id": pa.array(start // budget),
+            }
+        )
+
+    return (
+        pages.map_batches(counted, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(scan, batch_format="pyarrow")
+    )
+
+
+def pack_plan_sql(budget: int = PACK_BUDGET_TOKENS, n_shards: int = PACK_SHARDS) -> str:
+    return (
+        "WITH " + PAGES_SQL_CTE + ",\n"
+        "counted AS (\n"
+        "    SELECT url,\n"
+        f"           CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % {n_shards} AS shard,\n"
+        "           len(string_split(text, ' '))::BIGINT AS n_tokens\n"
+        "    FROM pages\n"
+        ")\n"
+        "SELECT url, shard, n_tokens,\n"
+        "       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY url) - n_tokens)\n"
+        f"            / {budget}) AS BIGINT) AS bin_id\n"
+        "FROM counted"
+    )
