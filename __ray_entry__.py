@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
         "rel_value_quantiles": lambda sf: rel.value_quantiles(sf),
         "rel_events_sliding": lambda sf: rel.events_sliding(sf),
+        "rel_customers_no_urgent": lambda sf: rel.customers_no_urgent_orders(sf),
         # approximate by construction -> rows-only (error bound + exact-merge
         # property covered in pytest)
         "sketch_distinct_users": lambda sf: sk.events_distinct_users(sf),
@@ -150,4 +151,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_orders_by_priority": rel.TOP_ORDERS_BY_PRIORITY_SQL,
         "rel_value_quantiles": rel.VALUE_QUANTILES_SQL,
         "rel_events_sliding": rel.EVENTS_SLIDING_SQL,
+        "rel_customers_no_urgent": rel.CUSTOMERS_NO_URGENT_SQL,
     }

@@ -558,3 +558,28 @@ class TestPackPlan:
                 assert prev_bin <= b <= prev_bin + max(1, n // tx.PACK_BUDGET_TOKENS + 1)
                 prev_bin = b
                 start += n
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAntiJoin:
+    def test_customers_no_urgent_orders(self, oracle):
+        assert_matches_oracle(
+            rel.customers_no_urgent_orders(SF_SMALL),
+            oracle,
+            rel.CUSTOMERS_NO_URGENT_SQL,
+            ["c_custkey"],
+        )
+
+    def test_anti_join_disjoint_from_probe_side(self):
+        import duckdb
+
+        t = to_arrow(rel.customers_no_urgent_orders(SF_SMALL))
+        with_urgent = {
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT DISTINCT o_custkey FROM '{SF_SMALL}/orders.parquet' "
+                "WHERE o_orderpriority = '1-URGENT'"
+            ).fetchall()
+        }
+        assert not (set(t["c_custkey"].to_pylist()) & with_urgent)
+        assert len(t) > 0  # some customers never place an urgent order

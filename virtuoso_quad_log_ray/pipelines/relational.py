@@ -912,3 +912,54 @@ FROM (
 )
 GROUP BY ws, event_type
 """.strip()
+
+
+# --- anti-join (J-class: set difference, the changelog idiom as a native op)
+
+def customers_no_urgent_orders(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Customers with NO 1-URGENT order — the anti-join half of the
+    changelog's state diff (J1: deletions = prior keys absent from the new
+    state, pipelines/changelog.py runs it as one full_outer join) expressed
+    through Ray's native ``left_anti`` hash join, keyed on the int custkey.
+    The probe side is pruned at the read (priority predicate pushed into the
+    Parquet scan) and ships only the key column."""
+    from virtuoso_quad_log_ray.stages.shuffle import join_kwargs
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+    o_keys = orders.map_batches(
+        lambda b: pa.table({"c_custkey": b["o_custkey"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return cust.join(
+        o_keys, join_type="left_anti", on=("c_custkey",), **join_kwargs(cfg)
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                "c_mktsegment": b["c_mktsegment"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+CUSTOMERS_NO_URGENT_SQL = """
+SELECT c_custkey, c_nationkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""".strip()
