@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_changelog_stats": lambda sf: cl.changelog_stats(sf),
         # --- document dedup suite (D2 / north_star canonicalization) ---
         "dedup_pages_exact": lambda sf: dd.dedup_pages_exact(sf),
+        "dedup_url_canon": lambda sf: dd.dedup_url_canon(sf),
         "dedup_ngram_jaccard": lambda sf: dd.ngram_jaccard_pairs(sf),
         "dedup_minhash_lsh": lambda sf: dd.minhash_lsh_pairs(sf),
         "dedup_simhash": lambda sf: dd.simhash_pairs(sf),
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_sample_stratified": lambda sf: tx.sample_stratified(sf),
         "text_contamination": lambda sf: tx.contamination(sf),
         "text_pack_plan": lambda sf: tx.pack_plan(sf),
+        "text_repetition": lambda sf: tx.text_repetition(sf),
         "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
         "rel_value_quantiles": lambda sf: rel.value_quantiles(sf),
         "rel_events_sliding": lambda sf: rel.events_sliding(sf),
@@ -118,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_changelog": cl.changelog_sql(),
         "kg_changelog_stats": cl.changelog_stats_sql(),
         "dedup_pages_exact": dd.DEDUP_PAGES_EXACT_SQL,
+        "dedup_url_canon": dd.DEDUP_URL_CANON_SQL,
         "dedup_ngram_jaccard": dd.ngram_jaccard_sql(
             cfg.jaccard_threshold, cfg.shingle_size
         ),
@@ -148,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "text_sample_stratified": tx.sample_stratified_sql(),
         "text_contamination": tx.contamination_sql(),
         "text_pack_plan": tx.pack_plan_sql(),
+        "text_repetition": tx.TEXT_REPETITION_SQL,
         "rel_top_orders_by_priority": rel.TOP_ORDERS_BY_PRIORITY_SQL,
         "rel_value_quantiles": rel.VALUE_QUANTILES_SQL,
         "rel_events_sliding": rel.EVENTS_SLIDING_SQL,

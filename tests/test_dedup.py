@@ -204,3 +204,28 @@ class TestSkewCap:
         singletons = [v for v in clusters.values() if len(v) == 1]
         assert len(singletons) == self.N_DOCS - 2
         assert not [v for v in clusters.values() if len(v) not in (1, 4)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUrlCanon:
+    def test_matches_oracle(self, oracle):
+        assert_matches_oracle(
+            dd.dedup_url_canon(SF_SMALL), oracle, dd.DEDUP_URL_CANON_SQL, ["canon_url"]
+        )
+
+    def test_variants_collapse_onto_base_url(self):
+        import pyarrow.compute as pc
+
+        t = to_arrow(dd.dedup_url_canon(SF_SMALL))
+        # no canonical or keeper url retains a query string / fragment
+        for col in ("canon_url", "keeper_url"):
+            assert pc.sum(pc.match_substring(t[col], "?")).as_py() == 0
+            assert pc.sum(pc.match_substring(t[col], "#")).as_py() == 0
+        # ?mirror=1 (doc_id%25==0) and ?v=2 (doc_id%31==1) variants fold onto
+        # their base rows; doc_id 0 mod both 25 and 31... (lcm 775 > corpus)
+        n_mirror = 20  # 500 docs / 25
+        n_v2 = len([i for i in range(1, 501) if i % 31 == 1])
+        multi = pc.sum(pc.greater(t["n_variants"], 1)).as_py()
+        assert multi == n_mirror + n_v2 - len(
+            [i for i in range(1, 501) if i % 25 == 0 and i % 31 == 1]
+        )

@@ -583,3 +583,21 @@ class TestAntiJoin:
         }
         assert not (set(t["c_custkey"].to_pylist()) & with_urgent)
         assert len(t) > 0  # some customers never place an urgent order
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepetition:
+    def test_matches_oracle(self, oracle):
+        assert_matches_oracle(
+            tx.text_repetition(SF_SMALL), oracle, tx.TEXT_REPETITION_SQL, ["url"]
+        )
+
+    def test_signal_invariants(self):
+        t = to_arrow(tx.text_repetition(SF_SMALL)).to_pandas()
+        # the most frequent word occurs at least once and at most n_words times
+        assert (t.top_word_n >= 1).all() and (t.top_word_n <= t.n_words).all()
+        # duplicate 2-grams are bounded by total 2-grams (n_words - 1)
+        assert (t.dup_2gram_n >= 0).all()
+        assert (t.dup_2gram_n <= (t.n_words - 1).clip(lower=0)).all()
+        # word-soup corpus genuinely repeats: some page has a duplicate 2-gram
+        assert t.dup_2gram_n.sum() > 0 and t.top_word_n.max() > 1

@@ -800,3 +800,79 @@ def simhash_pairs(
         )
 
     return distinct.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup
+# ---------------------------------------------------------------------------
+
+def dedup_url_canon(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Crawl-variant dedup by URL canonicalization: strip the query string
+    and fragment (``?...`` / ``#...``), then keep the earliest capture per
+    canonical URL — arg-min by (warc_ts, url) with the variant count. The
+    standard first pass of a web-crawl pipeline (mirror/tracking-parameter
+    variants collapse before any content hashing is paid).
+
+    Distributed shape: the arg-min rides the same bucketed C++ aggregate as
+    exact dedup by encoding (warc_ts, url) as ONE lexicographically ordered
+    composite string (zero-padded epoch seconds + 0x1f + url), so ``min``
+    over the composite IS the arg-min pair — no window function, no
+    second shuffle. Only (canon, composite) rows cross the exchange.
+    """
+    pages = read_pages(sf_dir, include_html=False)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        canon = pc.replace_substring_regex(url, r"[?#].*$", "")
+        epoch = pc.cast(pc.cast(batch["warc_ts"], pa.int64()), pa.string())
+        composite = pc.binary_join_element_wise(
+            pc.utf8_lpad(epoch, 12, "0"), url, "\x1f"
+        )
+        h1, _ = _hash128(canon)
+        return pa.table(
+            {"canon_url": canon, "h1": pa.array(h1), "composite": composite}
+        )
+
+    rows = pages.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    agg = bucket_aggregate(
+        rows,
+        ["canon_url"],
+        [("composite", "min"), ("composite", "count")],
+        hash_col="h1",
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        comp = batch["composite_min"]
+        if isinstance(comp, pa.ChunkedArray):
+            comp = comp.combine_chunks()
+        first_ts = pc.cast(
+            pc.cast(pc.utf8_slice_codeunits(comp, 0, 12), pa.int64()),
+            pa.timestamp("s"),
+        )
+        keeper = pc.utf8_slice_codeunits(comp, 13, np.iinfo(np.int32).max)
+        return pa.table(
+            {
+                "canon_url": batch["canon_url"],
+                "keeper_url": keeper,
+                "first_ts": first_ts,
+                "n_variants": pc.cast(batch["composite_count"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DEDUP_URL_CANON_SQL = (
+    "WITH " + PAGES_SQL_CTE + "\n"
+    "SELECT canon_url, url AS keeper_url, warc_ts AS first_ts, n_variants FROM (\n"
+    "    SELECT regexp_replace(url, '[?#].*$', '') AS canon_url, url, warc_ts,\n"
+    "           count(*) OVER (PARTITION BY regexp_replace(url, '[?#].*$', '')) AS n_variants,\n"
+    "           row_number() OVER (\n"
+    "               PARTITION BY regexp_replace(url, '[?#].*$', '')\n"
+    "               ORDER BY warc_ts, url\n"
+    "           ) AS rn\n"
+    "    FROM pages\n"
+    ") WHERE rn = 1"
+)

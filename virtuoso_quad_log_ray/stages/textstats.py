@@ -1019,3 +1019,101 @@ def pack_plan_sql(budget: int = PACK_BUDGET_TOKENS, n_shards: int = PACK_SHARDS)
         f"            / {budget}) AS BIGINT) AS bin_id\n"
         "FROM counted"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style "repetitious document" filters)
+# ---------------------------------------------------------------------------
+
+def text_repetition(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Per-page repetition signals for quality filtering (the Gopher /
+    MassiveText "repetitious text" family): the occurrence count of the
+    single most frequent word and the number of duplicate word-2-gram
+    occurrences (occurrences beyond the first of each distinct 2-gram).
+    Reported as raw integer counts alongside ``n_words`` so downstream
+    gates can form whatever ratio they filter on, float-format-proof.
+
+    Fully vectorized and embarrassingly parallel (a page never splits
+    across batches): tokens via ``split_pattern``, per-(row, word) counts
+    via one Arrow C++ hash group_by per batch, 2-grams rendered by joining
+    the flattened token array against itself shifted by one (valid where
+    both tokens share a parent row) — no Python loop over rows or tokens.
+    """
+    pages = read_pages(sf_dir, include_html=False)
+
+    def rep(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(batch)
+        tokens = pc.split_pattern(text, " ")
+        n_words = pc.list_value_length(tokens).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens).to_numpy().astype(np.int64)
+
+        # most-frequent-word count per row: C++ hash group_by, then a
+        # scatter-max over the group rows
+        wc = (
+            pa.table({"i": pa.array(parents), "tok": flat})
+            .group_by(["i", "tok"])
+            .aggregate([("tok", "count")])
+        )
+        top_word_n = np.zeros(n, dtype=np.int64)
+        np.maximum.at(
+            top_word_n,
+            wc["i"].to_numpy().astype(np.int64),
+            wc["tok_count"].to_numpy().astype(np.int64),
+        )
+
+        # duplicate 2-gram occurrences: adjacent-token pairs within a row
+        m = len(flat)
+        if m >= 2:
+            left, right = flat.slice(0, m - 1), flat.slice(1, m - 1)
+            same_row = parents[:-1] == parents[1:]
+            grams = pc.binary_join_element_wise(left, right, "\x1f")
+            gt = pa.table(
+                {
+                    "i": pa.array(parents[:-1][same_row]),
+                    "g": pc.filter(grams, pa.array(same_row)),
+                }
+            )
+            distinct = np.bincount(
+                gt.group_by(["i", "g"]).aggregate([])["i"].to_numpy().astype(np.int64),
+                minlength=n,
+            )
+            total = np.bincount(gt["i"].to_numpy().astype(np.int64), minlength=n)
+            dup_2gram_n = (total - distinct).astype(np.int64)
+        else:
+            dup_2gram_n = np.zeros(n, dtype=np.int64)
+
+        return pa.table(
+            {
+                "url": batch["url"],
+                "n_words": pa.array(n_words),
+                "top_word_n": pa.array(top_word_n),
+                "dup_2gram_n": pa.array(dup_2gram_n),
+            }
+        )
+
+    return pages.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TEXT_REPETITION_SQL = (
+    "WITH " + PAGES_SQL_CTE + ",\n"
+    "base AS (SELECT url, string_split(text, ' ') AS w FROM pages),\n"
+    "wc AS (\n"
+    "    SELECT url, word, count(*) AS c\n"
+    "    FROM (SELECT url, unnest(w) AS word FROM base) GROUP BY url, word\n"
+    "),\n"
+    "per_word AS (SELECT url, max(c)::BIGINT AS top_word_n FROM wc GROUP BY url),\n"
+    "grams AS (\n"
+    "    SELECT url,\n"
+    "           list_transform(range(1, len(w)), i -> w[i] || chr(31) || w[i + 1]) AS tg\n"
+    "    FROM base\n"
+    ")\n"
+    "SELECT b.url,\n"
+    "       len(b.w)::BIGINT AS n_words,\n"
+    "       p.top_word_n,\n"
+    "       (len(g.tg) - len(list_distinct(g.tg)))::BIGINT AS dup_2gram_n\n"
+    "FROM base b JOIN per_word p ON b.url = p.url JOIN grams g ON b.url = g.url"
+)
