@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_contamination": lambda sf: tx.contamination(sf),
         "text_pack_plan": lambda sf: tx.pack_plan(sf),
         "text_repetition": lambda sf: tx.text_repetition(sf),
+        "text_tfidf_top_terms": lambda sf: tx.tfidf_top_terms(sf),
         "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
         "rel_value_quantiles": lambda sf: rel.value_quantiles(sf),
         "rel_events_sliding": lambda sf: rel.events_sliding(sf),
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "text_contamination": tx.contamination_sql(),
         "text_pack_plan": tx.pack_plan_sql(),
         "text_repetition": tx.TEXT_REPETITION_SQL,
+        "text_tfidf_top_terms": tx.tfidf_top_terms_sql(),
         "rel_top_orders_by_priority": rel.TOP_ORDERS_BY_PRIORITY_SQL,
         "rel_value_quantiles": rel.VALUE_QUANTILES_SQL,
         "rel_events_sliding": rel.EVENTS_SLIDING_SQL,

@@ -601,3 +601,21 @@ class TestRepetition:
         assert (t.dup_2gram_n <= (t.n_words - 1).clip(lower=0)).all()
         # word-soup corpus genuinely repeats: some page has a duplicate 2-gram
         assert t.dup_2gram_n.sum() > 0 and t.top_word_n.max() > 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfidf:
+    def test_matches_oracle(self, oracle):
+        assert_matches_oracle(
+            tx.tfidf_top_terms(SF_SMALL), oracle, tx.tfidf_top_terms_sql(), ["url", "rank"]
+        )
+
+    def test_shape_and_ranking(self):
+        t = to_arrow(tx.tfidf_top_terms(SF_SMALL)).to_pandas()
+        # exactly k rows per url, ranks 1..k, ordered by (tf desc, df asc)
+        per_url = t.groupby("url")["rank"].agg(["count", "min", "max"])
+        assert (per_url["count"] == tx.TFIDF_TOP_K).all()
+        assert (per_url["min"] == 1).all() and (per_url["max"] == tx.TFIDF_TOP_K).all()
+        s = t.sort_values(["url", "rank"])
+        g = s.groupby("url")
+        assert (g["tf"].diff().dropna() <= 0).all()  # tf non-increasing down ranks

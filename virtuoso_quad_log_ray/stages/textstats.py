@@ -1117,3 +1117,119 @@ TEXT_REPETITION_SQL = (
     "       (len(g.tg) - len(list_distinct(g.tg)))::BIGINT AS dup_2gram_n\n"
     "FROM base b JOIN per_word p ON b.url = p.url JOIN grams g ON b.url = g.url"
 )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (keyword extraction over the corpus)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(
+    sf_dir: str, k: int = TFIDF_TOP_K, cfg: EngineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Top-k characteristic terms per page, ranked tf-idf-style but with an
+    INTEGER ordering key — tf descending, document frequency ascending
+    (rarer corpus-wide wins ties), then term — so the ranking is exactly
+    reproducible in SQL with no float-comparison hazards. The composition
+    showcase: per-batch TF, distributed DF, one term-keyed hash join, and
+    the partial-top-k combiner, each stage already scale-proven elsewhere
+    in the engine.
+
+    Distributed shape (no stage materializes the corpus):
+      1. TF is EXACT per batch — a page never splits across blocks, so one
+         C++ hash group_by per batch yields (url, term, tf) with no shuffle.
+      2. DF partials per block (each (url, term) appears once, so a per-term
+         row count IS the block's document frequency), summed by a bucketed
+         C++ aggregate — only |block vocab| rows per block cross the wire.
+      3. TF joins DF on the term (distributed hash join; the vocabulary is
+         never broadcast — at web scale DF tables outgrow any driver).
+      4. Per-block partial top-k per url (<= k rows per url per block leave
+         the block), then a per-url final merge re-ranks k x |blocks| rows.
+    """
+    pages = read_pages(sf_dir, include_html=False)
+    from virtuoso_quad_log_ray.numerics import hash128 as _h128
+    from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate, join_kwargs
+
+    def tf_batch(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tokens = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(tokens)
+        parents = pc.list_parent_indices(tokens)
+        g = (
+            pa.table({"i": parents, "term": flat})
+            .group_by(["i", "term"])
+            .aggregate([("term", "count")])
+        )
+        return pa.table(
+            {
+                "url": pc.take(b["url"], g["i"]),
+                "term": g["term"],
+                "tf": pc.cast(g["term_count"], pa.int64()),
+            }
+        )
+
+    tf = pages.map_batches(tf_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["term"]).group_by(["term"]).aggregate([("term", "count")])
+        h1, _ = _h128(g["term"])
+        return pa.table(
+            {
+                "term": g["term"],
+                "h1": pa.array(h1),
+                "dfp": pc.cast(g["term_count"], pa.int64()),
+            }
+        )
+
+    df = bucket_aggregate(
+        tf.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"],
+        [("dfp", "sum")],
+        hash_col="h1",
+    ).map_batches(
+        lambda b: pa.table({"term": b["term"], "df": pc.cast(b["dfp_sum"], pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    joined = tf.join(df, join_type="inner", on=("term",), **join_kwargs(cfg))
+
+    sort_keys = [("tf", "descending"), ("df", "ascending"), ("term", "ascending")]
+
+    def topk_block(b: pa.Table) -> pa.Table:
+        t = b.select(["url", "term", "tf", "df"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")] + sort_keys))
+        u = t["url"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        rank = np.arange(len(u)) - starts[run_id]
+        return t.filter(pa.array(rank < k))
+
+    partial = joined.map_batches(topk_block, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        t = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        t = t.slice(0, min(k, len(t)))
+        return t.append_column("rank", pa.array(np.arange(1, len(t) + 1)))
+
+    return partial.groupby("url").map_groups(final_topk, batch_format="pyarrow")
+
+
+def tfidf_top_terms_sql(k: int = TFIDF_TOP_K) -> str:
+    return (
+        "WITH " + PAGES_SQL_CTE + ",\n"
+        "words AS (SELECT url, unnest(string_split(text, ' ')) AS term FROM pages),\n"
+        "tf AS (SELECT url, term, count(*)::BIGINT AS tf FROM words GROUP BY url, term),\n"
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)\n"
+        "SELECT url, term, tf, df, rank FROM (\n"
+        "    SELECT t.url, t.term, t.tf, d.df,\n"
+        "           row_number() OVER (\n"
+        "               PARTITION BY t.url ORDER BY t.tf DESC, d.df ASC, t.term\n"
+        "           ) AS rank\n"
+        "    FROM tf t JOIN df d USING (term)\n"
+        f") WHERE rank <= {k}"
+    )
