@@ -106,6 +106,39 @@ class TestBucketAggregate:
         )
         assert got.equals(expect)
 
+    def test_scrub_empty_blocks_enables_joins(self):
+        """Key cardinality below the bucket count leaves the groupby's empty
+        sort partitions as zero-column blocks; scrub_empty_blocks must drop
+        them so a downstream hash join sees only typed blocks (unsrubbed,
+        an all-empty join partition crashed acero with "No match for key
+        field" — observed in tfidf_top_terms at sf0.1 / 32 CPUs)."""
+        import pyarrow as pa
+        import ray as _ray
+        import ray.data
+
+        from virtuoso_quad_log_ray.stages.shuffle import (
+            bucket_aggregate,
+            scrub_empty_blocks,
+        )
+
+        # 3 distinct keys, 16 buckets -> >= 13 empty partitions
+        t = pa.table({"k": [1, 2, 3] * 100, "v": list(range(300))})
+        agg = bucket_aggregate(
+            ray.data.from_arrow(t).repartition(8), ["k"], [("v", "sum")], n_buckets=16
+        )
+        clean = scrub_empty_blocks(agg)
+        blocks = [_ray.get(r) for r in clean.to_arrow_refs()]
+        assert blocks and all(b.num_columns == 2 for b in blocks)
+        got = pa.concat_tables(blocks).sort_by("k")
+        assert got["k"].to_pylist() == [1, 2, 3]
+        assert got["v_sum"].to_pylist() == [
+            sum(range(i, 300, 3)) for i in (0, 1, 2)
+        ]
+        # and the join that motivated the scrub works end-to-end
+        right = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "w": [10, 20, 30]}))
+        joined = clean.join(right, join_type="inner", on=("k",), num_partitions=4)
+        assert joined.count() == 3
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSkewCap:

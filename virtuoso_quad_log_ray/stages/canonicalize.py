@@ -43,7 +43,11 @@ import ray.data
 from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
 from virtuoso_quad_log_ray.sources.pages import read_pages
 from virtuoso_quad_log_ray.stages.dedup import _hash128, ngram_jaccard_pairs, ngram_jaccard_sql
-from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate, join_kwargs
+from virtuoso_quad_log_ray.stages.shuffle import (
+    bucket_aggregate,
+    join_kwargs,
+    scrub_empty_blocks,
+)
 
 
 def _min_label(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -80,7 +84,10 @@ def _min_label(ds: ray.data.Dataset) -> ray.data.Dataset:
 
     keyed = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
     agg = bucket_aggregate(keyed, ["node"], [("label", "min")], hash_col="nh")
-    return agg.map_batches(
+    # every consumer joins or sorts this node-sized table (fixpoint rounds
+    # re-materialize it anyway): drop the sort-shuffle's schemaless empty
+    # blocks here so they never reach a hash join partition
+    return scrub_empty_blocks(agg).map_batches(
         lambda b: pa.table({"node": b["node"], "label": b["label_min"]}),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -119,8 +126,10 @@ def _rank_nodes(distinct_nodes: ray.data.Dataset) -> ray.data.Dataset:
 
     counts = ray.get([_n.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(counts[:-1])]) if counts else []
+    # skip empty sort partitions: their blocks carry no schema, so
+    # _with_ids would KeyError on t["node"] (and they contribute no ids)
     return ray.data.from_arrow_refs(
-        [_with_ids.remote(r, int(o)) for r, o in zip(refs, offsets)]
+        [_with_ids.remote(r, int(o)) for r, o, n in zip(refs, offsets, counts) if n]
     )
 
 
@@ -143,7 +152,10 @@ def connected_components(
     production hybrid (e.g. GraphFrames/Spark CC ends with a local solve);
     both paths produce identical output (asserted in tests).
     """
-    pairs = pairs.materialize()  # consumed 2-3x below (count + either path)
+    # consumed 2-3x below (count + either path) AND joined against node_ids
+    # in the fixpoint path: materialize once and drop any schemaless empty
+    # blocks riding along from the pair aggregate's sort-shuffle
+    pairs = scrub_empty_blocks(pairs)
     n_edges = pairs.count()
     if n_edges <= driver_threshold:
         edges_t = pa.concat_tables(

@@ -499,7 +499,11 @@ def _dedup_candidate_pairs(joined: ray.data.Dataset) -> ray.data.Dataset:
 
     pairs = joined.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
     distinct = bucket_aggregate(pairs, ["h1", "h2"], [("url_a", "min"), ("url_b", "min")])
-    return distinct.map_batches(
+    # candidates feed the verify hash joins: drop the sort-shuffle's
+    # schemaless empty blocks first (duplicate-set-sized materialize)
+    from virtuoso_quad_log_ray.stages.shuffle import scrub_empty_blocks
+
+    return scrub_empty_blocks(distinct).map_batches(
         lambda b: pa.table({"url_a": b["url_a_min"], "url_b": b["url_b_min"]}),
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -118,11 +118,54 @@ def bucket_aggregate(
     def combine(group: pa.Table) -> pa.Table:
         return group.drop_columns(["_pk"]).group_by(keys).aggregate(aggs)
 
+    # num_partitions=nb aligns the sort-shuffle's output partitions with the
+    # bucket count (the default over-partitions ~2x: 64 partitions for 32
+    # buckets, half guaranteed empty) — measured faster on every aggregate
+    # path. Partitions holding no bucket still emit EMPTY blocks with an
+    # EMPTY schema (zero columns); see scrub_empty_blocks below for why that
+    # matters to downstream joins.
     return (
         ds.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_pk")
+        .groupby("_pk", num_partitions=nb)
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+def scrub_empty_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Drop the zero-column empty blocks a sort-shuffle emits for empty
+    partitions. Required between a groupby/``bucket_aggregate`` and a hash
+    JOIN consuming its output.
+
+    Ray's groupby sort-shuffle materializes one block per partition; a
+    partition that received no keys yields an empty block with an EMPTY
+    schema (zero columns — pa.schema([])). Those blocks skip every
+    map_batches UDF (Ray never calls fn on zero-row blocks) and survive to
+    a downstream hash join, where a join hash-partition whose input happens
+    to be all-schemaless concatenates to a zero-column table and acero
+    fails loudly: "No match or multiple matches for key field reference".
+    Observed at sf0.1 / 32 CPUs (vocabulary < bucket count) in
+    tfidf_top_terms; any aggregate whose key cardinality can fall below the
+    bucket count is exposed.
+
+    A streaming ``repartition()`` also merges the empties away, but it adds
+    an AllToAll barrier that DEADLOCKS low-CPU clusters when stacked
+    against join aggregator actors (observed hang at num_cpus=4 in
+    embedding_neardup_pairs: join actors reserve the cores the extra
+    barrier's tasks need). Instead this materializes — the input must be
+    aggregate/key-sized, same contract as ``self_join_input`` — and
+    rebuilds the dataset from the surviving block REFS: blocks never leave
+    the object store, no driver transit, and the downstream join starts
+    from clean typed blocks.
+    """
+    m = ds.materialize()
+    refs = []
+    for bundle in m.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:  # fully empty aggregate: keep the original (callers guard)
+        return m
+    return ray.data.from_arrow_refs(refs)
 
 
 def self_join_input(ds: "ray.data.Dataset") -> "ray.data.Dataset":

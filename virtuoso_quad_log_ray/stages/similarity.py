@@ -27,6 +27,7 @@ from virtuoso_quad_log_ray.stages.shuffle import (
     actor_kwargs,
     bucket_aggregate,
     join_kwargs,
+    scrub_empty_blocks,
     self_join_input,
 )
 
@@ -487,10 +488,14 @@ def embedding_neardup_pairs(
         uniq = np.unique(m, axis=0)
         return pa.table({"vec_a": pa.array(uniq[:, 0]), "vec_b": pa.array(uniq[:, 1])})
 
-    cand = bucket_aggregate(
-        joined.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True),
-        ["vec_a", "vec_b"],
-        [("vec_b", "count")],
+    # candidates feed the verify hash joins: drop the sort-shuffle's
+    # schemaless empty blocks first (candidate-pair-sized materialize)
+    cand = scrub_empty_blocks(
+        bucket_aggregate(
+            joined.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True),
+            ["vec_a", "vec_b"],
+            [("vec_b", "count")],
+        )
     ).select_columns(["vec_a", "vec_b"])
 
     def side(key: str):

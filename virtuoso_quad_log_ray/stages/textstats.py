@@ -816,6 +816,7 @@ def contamination(
     from virtuoso_quad_log_ray.stages.shuffle import (
         bucket_aggregate,
         join_kwargs,
+        scrub_empty_blocks,
         self_join_input,
     )
 
@@ -854,8 +855,11 @@ def contamination(
     eval_rows = rows.map_batches(only(True), batch_format="pyarrow", zero_copy_batch=True)
     train = rows.map_batches(only(False), batch_format="pyarrow", zero_copy_batch=True)
 
-    eval_keys = bucket_aggregate(
-        eval_rows, ["s1", "s2"], [("url", "count")], hash_col="s1"
+    # eval_keys feeds the left_outer hash join below: scrub the
+    # sort-shuffle's schemaless empty blocks (eval-shingle-set-sized; the
+    # count() guard below materializes anyway)
+    eval_keys = scrub_empty_blocks(
+        bucket_aggregate(eval_rows, ["s1", "s2"], [("url", "count")], hash_col="s1")
     ).map_batches(
         lambda b: pa.table(
             {
@@ -1150,7 +1154,11 @@ def tfidf_top_terms(
     """
     pages = read_pages(sf_dir, include_html=False)
     from virtuoso_quad_log_ray.numerics import hash128 as _h128
-    from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate, join_kwargs
+    from virtuoso_quad_log_ray.stages.shuffle import (
+        bucket_aggregate,
+        join_kwargs,
+        scrub_empty_blocks,
+    )
 
     def tf_batch(b: pa.Table) -> pa.Table:
         text = b["text"]
@@ -1185,11 +1193,17 @@ def tfidf_top_terms(
             }
         )
 
-    df = bucket_aggregate(
-        tf.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["term"],
-        [("dfp", "sum")],
-        hash_col="h1",
+    # df feeds the term-keyed hash join below: scrub the sort-shuffle's
+    # schemaless empty blocks (vocabulary-sized materialize; they crashed
+    # the join with "No match for key field term" at sf0.1 / 32 CPUs where
+    # the synthetic vocab occupies fewer buckets than the aggregate has)
+    df = scrub_empty_blocks(
+        bucket_aggregate(
+            tf.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["term"],
+            [("dfp", "sum")],
+            hash_col="h1",
+        )
     ).map_batches(
         lambda b: pa.table({"term": b["term"], "df": pc.cast(b["dfp_sum"], pa.int64())}),
         batch_format="pyarrow",
