@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from virtuoso_quad_log_ray.stages import similarity as sim
     from virtuoso_quad_log_ray.stages import sketches as sk
     from virtuoso_quad_log_ray.stages import textstats as tx
+    from virtuoso_quad_log_ray.stages import webstats as ws
 
     return {
         # --- KG construction core (SURVEY.md §2.1-§2.6) ---
@@ -93,6 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_value_quantiles": lambda sf: rel.value_quantiles(sf),
         "rel_events_sliding": lambda sf: rel.events_sliding(sf),
         "rel_customers_no_urgent": lambda sf: rel.customers_no_urgent_orders(sf),
+        # --- per-site crawl accounting + bounded inverted index + KG degrees ---
+        "web_domain_stats": lambda sf: ws.web_domain_stats(sf),
+        "text_postings": lambda sf: ws.text_postings(sf),
+        "kg_entity_degree": lambda sf: kg.entity_degree(sf),
         # approximate by construction -> rows-only (error bound + exact-merge
         # property covered in pytest)
         "sketch_distinct_users": lambda sf: sk.events_distinct_users(sf),
@@ -109,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
     from virtuoso_quad_log_ray.stages import multimodal as mm
     from virtuoso_quad_log_ray.stages import similarity as sim
     from virtuoso_quad_log_ray.stages import textstats as tx
+    from virtuoso_quad_log_ray.stages import webstats as ws
 
     return {
         "kg_quads": kg.QUADS_SQL,
@@ -158,4 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_value_quantiles": rel.VALUE_QUANTILES_SQL,
         "rel_events_sliding": rel.EVENTS_SLIDING_SQL,
         "rel_customers_no_urgent": rel.CUSTOMERS_NO_URGENT_SQL,
+        "web_domain_stats": ws.WEB_DOMAIN_STATS_SQL,
+        "text_postings": ws.text_postings_sql(),
+        "kg_entity_degree": kg.ENTITY_DEGREE_SQL,
     }

@@ -289,6 +289,135 @@ ENTITY_LINKS_SQL = sql_with_pages(
 )
 
 
+def entity_degree(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Per-entity degree over the link graph: link rows, distinct pages and
+    distinct surface forms per canonical entity — the node-degree accounting
+    a KG build reports (the graph-level analog of A1's per-graph quad
+    counters, dump_nquads.sql:37-44).
+
+    Distributed shape: ``entity_links`` emits per-page-distinct triples and
+    a page never splits across blocks, so each (url, surface, canon) row is
+    GLOBALLY distinct and per-block (canon, url) pairs are globally
+    distinct too — n_links and n_pages reduce to per-block C++ partials
+    summed by one ``bucket_aggregate`` (|canons| rows per block). Only
+    n_surfaces needs a global distinct, over the alias-dictionary-sized
+    (canon, surface) set. One canon-keyed join of two entity-sized tables.
+    """
+    from virtuoso_quad_log_ray.numerics import hash128 as _h128
+    from virtuoso_quad_log_ray.stages.shuffle import (
+        bucket_aggregate,
+        join_kwargs,
+        scrub_empty_blocks,
+    )
+
+    links = entity_links(sf_dir, cfg)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        # rows in this block are globally distinct triples; urls are local
+        # to the block -> exact per-block partials for both counters
+        g = (
+            b.select(["canon", "url"])
+            .group_by(["canon", "url"])
+            .aggregate([("url", "count")])
+        )
+        g2 = (
+            pa.table({"canon": g["canon"], "links_p": g["url_count"]})
+            .group_by(["canon"])
+            .aggregate([("links_p", "sum"), ("links_p", "count")])
+        )
+        h1, _ = _h128(g2["canon"])
+        return pa.table(
+            {
+                "canon": g2["canon"],
+                "h1": pa.array(h1),
+                "links_p": pc.cast(g2["links_p_sum"], pa.int64()),
+                "pages_p": pc.cast(g2["links_p_count"], pa.int64()),
+            }
+        )
+
+    counts = scrub_empty_blocks(
+        bucket_aggregate(
+            links.map_batches(
+                count_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["canon"],
+            [("links_p", "sum"), ("pages_p", "sum")],
+            hash_col="h1",
+        )
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "canon": b["canon"],
+                "n_links": pc.cast(b["links_p_sum"], pa.int64()),
+                "n_pages": pc.cast(b["pages_p_sum"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def surface_pairs(b: pa.Table) -> pa.Table:
+        g = b.select(["canon", "surface"]).group_by(["canon", "surface"]).aggregate([])
+        h1, _ = _h128(g["canon"])
+        return g.append_column("h1", pa.array(h1))
+
+    distinct_surfaces = bucket_aggregate(
+        links.map_batches(surface_pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["canon", "surface"],
+        [("surface", "count")],
+        hash_col="h1",
+    )
+
+    def surface_counts(b: pa.Table) -> pa.Table:
+        g = b.select(["canon"]).group_by(["canon"]).aggregate([("canon", "count")])
+        h1, _ = _h128(g["canon"])
+        return pa.table(
+            {
+                "canon": g["canon"],
+                "h1": pa.array(h1),
+                "s_p": pc.cast(g["canon_count"], pa.int64()),
+            }
+        )
+
+    surfaces = scrub_empty_blocks(
+        bucket_aggregate(
+            distinct_surfaces.map_batches(
+                surface_counts, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["canon"],
+            [("s_p", "sum")],
+            hash_col="h1",
+        )
+    ).map_batches(
+        lambda b: pa.table(
+            {"canon": b["canon"], "n_surfaces": pc.cast(b["s_p_sum"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    out = counts.join(
+        surfaces, join_type="inner", on=("canon",), **join_kwargs(cfg, small=True)
+    )
+    return out.map_batches(
+        lambda b: b.select(["canon", "n_links", "n_pages", "n_surfaces"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ENTITY_DEGREE_SQL = sql_with_pages(
+    "SELECT canon,\n"
+    "       count(*)::BIGINT AS n_links,\n"
+    "       count(DISTINCT url)::BIGINT AS n_pages,\n"
+    "       count(DISTINCT surface)::BIGINT AS n_surfaces\n"
+    "FROM (SELECT DISTINCT t.url AS url, a.surface AS surface, a.canon AS canon\n"
+    "      FROM toks t JOIN aliases a ON a.surface = t.tok)\n"
+    "GROUP BY canon",
+    QUADS_SQL_CTE,
+)
+
+
 def rdfpatch_lines(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """M1-M4 surface: fully rendered `+ s p o <g> .` patch lines
     (vql_create_nquad, utils.sql:23-30)."""
