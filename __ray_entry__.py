@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_domain_stats": lambda sf: ws.web_domain_stats(sf),
         "text_postings": lambda sf: ws.text_postings(sf),
         "kg_entity_degree": lambda sf: kg.entity_degree(sf),
+        # end-to-end curation flagship: gate -> exact-dedup keep-first -> shard
+        "text_corpus_curate": lambda sf: tx.corpus_curate(sf),
         # approximate by construction -> rows-only (error bound + exact-merge
         # property covered in pytest)
         "sketch_distinct_users": lambda sf: sk.events_distinct_users(sf),
@@ -167,4 +169,5 @@ def oracle_sql() -> dict[str, str]:
         "web_domain_stats": ws.WEB_DOMAIN_STATS_SQL,
         "text_postings": ws.text_postings_sql(),
         "kg_entity_degree": kg.ENTITY_DEGREE_SQL,
+        "text_corpus_curate": tx.corpus_curate_sql(),
     }

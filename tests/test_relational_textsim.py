@@ -619,3 +619,27 @@ class TestTfidf:
         s = t.sort_values(["url", "rank"])
         g = s.groupby("url")
         assert (g["tf"].diff().dropna() <= 0).all()  # tf non-increasing down ranks
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorpusCurate:
+    def test_matches_oracle(self, oracle):
+        assert_matches_oracle(
+            tx.corpus_curate(SF_SMALL), oracle, tx.corpus_curate_sql(), ["url"]
+        )
+
+    def test_composition_consistent_with_stages(self):
+        """curate == gate -> keep-first dedup -> shard, stage by stage."""
+        curated = to_arrow(tx.corpus_curate(SF_SMALL))
+        gated = to_arrow(tx.corpus_filter(SF_SMALL))
+        shard_of = dict(
+            zip(*[to_arrow(tx.shard_plan(SF_SMALL))[c].to_pylist() for c in ("url", "shard")])
+        )
+        # every curated url passed the gate, and shards match the shard plan
+        gate_urls = set(gated["url"].to_pylist())
+        for u, s in zip(curated["url"].to_pylist(), curated["shard"].to_pylist()):
+            assert u in gate_urls
+            assert s == shard_of[u]
+        # keep-first: curated urls are unique and <= gate survivors
+        assert len(set(curated["url"].to_pylist())) == len(curated)
+        assert len(curated) <= len(gated)

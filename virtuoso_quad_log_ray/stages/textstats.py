@@ -429,6 +429,103 @@ def shard_plan_sql(n_shards: int = 16) -> str:
     )
 
 
+def corpus_curate(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, *, n_shards: int = 16
+) -> ray.data.Dataset:
+    """The end-to-end curation flagship a training-data pipeline runs:
+    quality gate -> exact dedup (keep-first by url) -> content-addressed
+    shard assignment, composed as ONE streaming pass plus ONE key-sized
+    exchange.
+
+    Distributed shape: a single map over pages computes the gate metrics
+    (the corpus_filter predicate, same ppm rounding as the oracle) AND the
+    128-bit content key, filtering in-block — rejected pages never leave
+    their block, and only (k1, k2, url, n_tokens) rows (~40 bytes) cross
+    the one ``bucket_aggregate`` exchange, where min(url)/min(n_tokens)
+    per content key IS the keep-first dedup (identical texts agree on
+    n_tokens). Shard assignment is a pure per-row map on the survivors.
+    """
+    from virtuoso_quad_log_ray.numerics import hash128 as _h128
+
+    pages = read_pages(sf_dir, include_html=False)
+    from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate
+
+    def gate_and_key(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tokens = pc.split_pattern(text, " ")
+        n_tokens = pc.list_value_length(tokens).to_numpy().astype(np.int64)
+        n_chars = pc.utf8_length(text).to_numpy().astype(np.int64)
+        parents = pc.list_parent_indices(tokens).to_numpy()
+        distinct_rows = (
+            pa.table({"i": pa.array(parents), "tok": pc.list_flatten(tokens)})
+            .group_by(["i", "tok"])
+            .aggregate([])
+        )
+        distinct_count = np.bincount(
+            distinct_rows["i"].to_numpy().astype(np.int64), minlength=len(b)
+        ).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mtl_ppm = half_away_int64(
+                np.where(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens, 0.0) * 1e6
+            )
+            dr_ppm = half_away_int64(
+                np.where(n_tokens > 0, distinct_count / n_tokens, 0.0) * 1e6
+            )
+        keep = (
+            (n_tokens >= MIN_TOKENS)
+            & (mtl_ppm <= MAX_MEAN_TOKEN_LEN_PPM)
+            & (dr_ppm >= MIN_DISTINCT_RATIO_PPM)
+        )
+        k1, k2 = _h128(text)
+        return pa.table(
+            {
+                "k1": pa.array(k1),
+                "k2": pa.array(k2),
+                "url": b["url"],
+                "n_tokens": pa.array(n_tokens),
+            }
+        ).filter(pa.array(keep))
+
+    keyed = pages.map_batches(gate_and_key, batch_format="pyarrow", zero_copy_batch=True)
+    kept = bucket_aggregate(
+        keyed, ["k1", "k2"], [("url", "min"), ("n_tokens", "min")], hash_col="k1"
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        urls = b["url_min"].to_pylist()
+        shards = [
+            int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % n_shards for u in urls
+        ]
+        return pa.table(
+            {
+                "url": b["url_min"],
+                "n_tokens": pc.cast(b["n_tokens_min"], pa.int64()),
+                "shard": pa.array(shards, type=pa.int64()),
+            }
+        )
+
+    return kept.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def corpus_curate_sql(n_shards: int = 16) -> str:
+    return (
+        "WITH " + PAGES_SQL_CTE + ",\n"
+        "base AS (SELECT url, text, string_split(text, ' ') AS w FROM pages),\n"
+        "q AS (SELECT url, text, len(w)::BIGINT AS n_tokens,\n"
+        "      CAST(round(1e6 * (length(text) - (len(w) - 1)) / len(w)) AS BIGINT) AS mtl,\n"
+        "      CAST(round(1e6 * len(list_distinct(w)) / len(w)) AS BIGINT) AS dr\n"
+        "      FROM base),\n"
+        f"gated AS (SELECT url, text, n_tokens FROM q WHERE n_tokens >= {MIN_TOKENS}\n"
+        f"          AND mtl <= {MAX_MEAN_TOKEN_LEN_PPM} AND dr >= {MIN_DISTINCT_RATIO_PPM}),\n"
+        "kept AS (SELECT min(url) AS url, min(n_tokens) AS n_tokens FROM gated GROUP BY text)\n"
+        "SELECT url, n_tokens,\n"
+        f"       CAST(CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % {n_shards} AS BIGINT) AS shard\n"
+        "FROM kept"
+    )
+
+
 WINNOW_K = 8  # k-gram length (chars)
 WINNOW_W = 16  # winnowing window
 
