@@ -98,6 +98,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_domain_stats": lambda sf: ws.web_domain_stats(sf),
         "text_postings": lambda sf: ws.text_postings(sf),
         "kg_entity_degree": lambda sf: kg.entity_degree(sf),
+        "kg_entity_cooccur": lambda sf: kg.entity_cooccur(sf),
+        # rdfpatch APPLY (consumer side): replay(v1, changelog) == fresh v2
+        "kg_state_replay": lambda sf: cl.replay_state(sf),
+        # incremental crawl vs prior fingerprint index (anti-join admit)
+        "dedup_incremental": lambda sf: dd.dedup_incremental(sf),
         # end-to-end curation flagship: gate -> exact-dedup keep-first -> shard
         "text_corpus_curate": lambda sf: tx.corpus_curate(sf),
         # approximate by construction -> rows-only (error bound + exact-merge
@@ -169,5 +174,8 @@ def oracle_sql() -> dict[str, str]:
         "web_domain_stats": ws.WEB_DOMAIN_STATS_SQL,
         "text_postings": ws.text_postings_sql(),
         "kg_entity_degree": kg.ENTITY_DEGREE_SQL,
+        "kg_entity_cooccur": kg.ENTITY_COOCCUR_SQL,
+        "kg_state_replay": cl.replay_state_sql(),
+        "dedup_incremental": dd.dedup_incremental_sql(),
         "text_corpus_curate": tx.corpus_curate_sql(),
     }

@@ -240,6 +240,25 @@ class TestSkewCap:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestIncremental:
+    def test_matches_oracle(self, oracle):
+        assert_matches_oracle(
+            dd.dedup_incremental(SF_SMALL), oracle, dd.dedup_incremental_sql(), ["url"]
+        )
+
+    def test_admitted_content_absent_from_prior_index(self):
+        import hashlib
+
+        from virtuoso_quad_log_ray.pipelines.changelog import _pages_version
+
+        v1 = to_arrow(_pages_version(SF_SMALL, 1))
+        prior = {hashlib.md5(t.encode()).hexdigest() for t in v1["text"].to_pylist()}
+        fresh = to_arrow(dd.dedup_incremental(SF_SMALL))
+        assert len(fresh) > 0  # the v2 crawl does change pages
+        assert not (set(fresh["content_md5"].to_pylist()) & prior)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestUrlCanon:
     def test_matches_oracle(self, oracle):
         assert_matches_oracle(

@@ -51,6 +51,20 @@ class TestKgOracle:
             cl.changelog(SF_SMALL), oracle, cl.changelog_sql(), ["op", "s", "p", "o", "g"]
         )
 
+    def test_entity_cooccur(self, oracle):
+        assert_matches_oracle(
+            kg.entity_cooccur(SF_SMALL),
+            oracle,
+            kg.ENTITY_COOCCUR_SQL,
+            ["canon_a", "canon_b"],
+        )
+
+    def test_replay_state_equals_fresh_v2(self, oracle):
+        # the strongest closure contract: replay(v1, changelog) == fresh v2
+        assert_matches_oracle(
+            cl.replay_state(SF_SMALL), oracle, cl.replay_state_sql(), ["s", "p", "o", "g"]
+        )
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestChangelogProperties:

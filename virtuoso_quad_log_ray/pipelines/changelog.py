@@ -178,6 +178,53 @@ def apply_changelog(prev: pa.Table, log: pa.Table) -> pa.Table:
     return pa.concat_tables([retained.select(["s", "p", "o", "g"]), added])
 
 
+def replay_state(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Distributed rdfpatch APPLY — the CONSUMER side of the changelog.
+
+    The reference's patch files exist so a downstream quad store can replay
+    them (+/- retract-then-assert, MOTIVATION.md:40-71; the sample consumer
+    applies rdfpatch files in checkpoint order). This is that application
+    run as a Dataset pipeline over the corpus-sized prior snapshot:
+
+        retained = snapshot_v1  LEFT-ANTI  deletes('-')   # one hash join on
+                                                          # the (s,p,o,g) key
+        replayed = retained  UNION  inserts('+')
+
+    and the correctness contract is the strongest one available: the oracle
+    recomputes snapshot v2 by FRESH extraction, so replay(v1, log) must equal
+    re-crawl-and-re-extract row for row (FIXTURES.md F7 closure property —
+    the driver-side pa.Table twin is ``apply_changelog`` above).
+
+    Scale shape: the snapshot is corpus-sized but streams through the anti
+    join's hash exchange; the changelog is delta-sized, so it is pinned once
+    (``self_join_input``) and feeds both the retract and assert branches —
+    at 100 TB the production form checkpoints the patch run to Parquet (the
+    publish sink already does) and reads it twice, never re-deriving it.
+    """
+    from virtuoso_quad_log_ray.stages.shuffle import self_join_input
+
+    prev = quads_version(sf_dir, 1, cfg)
+    log = self_join_input(changelog(sf_dir, cfg))
+
+    def only(opch: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["op"], opch)).select(["s", "p", "o", "g"])
+
+        return fn
+
+    deletes = log.map_batches(only("-"), batch_format="pyarrow", zero_copy_batch=True)
+    inserts = log.map_batches(only("+"), batch_format="pyarrow", zero_copy_batch=True)
+    retained = prev.join(
+        deletes, join_type="left_anti", on=("s", "p", "o", "g"), **join_kwargs(cfg)
+    )
+    return retained.union(inserts)
+
+
+def replay_state_sql() -> str:
+    """Oracle: the replayed state must equal a FRESH v2 extraction."""
+    return _quads_select(2)
+
+
 # ---------------------------------------------------------------------------
 # Lockstep DuckDB oracle
 # ---------------------------------------------------------------------------

@@ -418,6 +418,116 @@ ENTITY_DEGREE_SQL = sql_with_pages(
 )
 
 
+def entity_cooccur(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """Entity co-occurrence edges: unordered (canon_a < canon_b) pairs of
+    canonical entities mentioned on the SAME page, with the page count per
+    pair — the co-mention graph every KG build derives right after entity
+    linking (edge weights feed disambiguation and embedding training).
+
+    Distributed shape: ``entity_links`` keeps a page's links inside one
+    block, so pair GENERATION is block-local — sort the block's distinct
+    (url, canon) rows, then one vectorized repeat/offset construction emits
+    every within-page (i < j) pair with no shuffle and no Python loop. A
+    per-block C++ groupby combines pairs before the exchange, so only
+    |distinct pairs per block| rows cross the wire (bounded by the alias
+    dictionary squared, NOT by the corpus), and one ``bucket_aggregate``
+    sums the partials. Hot pairs (popular entity combinations) are pure
+    count accumulation — no per-key state, no skew blowup; pages mentioning
+    k entities emit C(k,2) <= C(|dict|,2) pairs, so a boilerplate page
+    cannot explode a block.
+    """
+    from virtuoso_quad_log_ray.numerics import hash128 as _h128
+    from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate
+
+    links = entity_links(sf_dir, cfg)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        # distinct (url, canon) within the block (drop multi-surface repeats),
+        # sorted so each page's canons are contiguous and ascending
+        d = (
+            b.select(["url", "canon"])
+            .group_by(["url", "canon"])
+            .aggregate([])
+            .sort_by([("url", "ascending"), ("canon", "ascending")])
+        )
+        n = len(d)
+        empty = pa.table(
+            {
+                "canon_a": pa.array([], type=pa.string()),
+                "canon_b": pa.array([], type=pa.string()),
+                "h1": pa.array([], type=pa.int64()),
+                "n_pages": pa.array([], type=pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        url = d["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        codes = url.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        group_id = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        local = np.arange(n, dtype=np.int64) - starts[group_id]
+        reps = sizes[group_id] - 1 - local  # pairs led by each row
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        run_start = np.cumsum(reps) - reps
+        offset = np.arange(total, dtype=np.int64) - np.repeat(run_start, reps) + 1
+        b_idx = a_idx + offset
+        canon = d["canon"]
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+        pairs = pa.table(
+            {
+                "canon_a": pc.take(canon, pa.array(a_idx)),
+                "canon_b": pc.take(canon, pa.array(b_idx)),
+            }
+        )
+        part = pairs.group_by(["canon_a", "canon_b"]).aggregate([("canon_a", "count")])
+        key = pc.binary_join_element_wise(part["canon_a"], part["canon_b"], "\x1f")
+        h1, _ = _h128(key)
+        return pa.table(
+            {
+                "canon_a": part["canon_a"],
+                "canon_b": part["canon_b"],
+                "h1": pa.array(h1),
+                "n_pages": pc.cast(part["canon_a_count"], pa.int64()),
+            }
+        )
+
+    partials = links.map_batches(
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = bucket_aggregate(
+        partials, ["canon_a", "canon_b"], [("n_pages", "sum")], hash_col="h1"
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "canon_a": b["canon_a"],
+                "canon_b": b["canon_b"],
+                "n_pages": pc.cast(b["n_pages_sum"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+ENTITY_COOCCUR_SQL = sql_with_pages(
+    "SELECT a.canon AS canon_a, b.canon AS canon_b, count(*)::BIGINT AS n_pages\n"
+    "FROM mentions a JOIN mentions b ON a.url = b.url AND a.canon < b.canon\n"
+    "GROUP BY 1, 2",
+    QUADS_SQL_CTE,
+)
+
+
 def rdfpatch_lines(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """M1-M4 surface: fully rendered `+ s p o <g> .` patch lines
     (vql_create_nquad, utils.sql:23-30)."""
