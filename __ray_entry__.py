@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_postings": lambda sf: ws.text_postings(sf),
         "kg_entity_degree": lambda sf: kg.entity_degree(sf),
         "kg_entity_cooccur": lambda sf: kg.entity_cooccur(sf),
+        # iterative fixpoint -> rows-only (pinned in pytest against a dense
+        # power-iteration reference and the forced-distributed path)
+        "kg_entity_pagerank": lambda sf: kg.entity_pagerank(sf),
         # rdfpatch APPLY (consumer side): replay(v1, changelog) == fresh v2
         "kg_state_replay": lambda sf: cl.replay_state(sf),
         # incremental crawl vs prior fingerprint index (anti-join admit)

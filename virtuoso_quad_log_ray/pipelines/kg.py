@@ -528,6 +528,40 @@ ENTITY_COOCCUR_SQL = sql_with_pages(
 )
 
 
+def entity_pagerank(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    iters: int = 20,
+    damping: float = 0.85,
+    **kwargs,
+) -> ray.data.Dataset:
+    """Entity salience: weighted PageRank over the co-occurrence graph —
+    the node-importance score a KG build attaches to each canonical entity
+    (disambiguation priors, salience-weighted page sampling). Rows-only on
+    the driver (an iterative fixpoint is not ANSI-SQL-expressible); pinned
+    in pytest against an independent dense power iteration and against the
+    forced-distributed path. See ``stages/graph.py`` for the scale shape.
+    """
+    from virtuoso_quad_log_ray.stages.graph import pagerank
+
+    ranks = pagerank(
+        entity_cooccur(sf_dir, cfg),
+        cfg,
+        a_col="canon_a",
+        b_col="canon_b",
+        weight_col="n_pages",
+        iters=iters,
+        damping=damping,
+        **kwargs,
+    )
+    return ranks.map_batches(
+        lambda b: pa.table({"canon": b["node"], "rank": b["rank"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def rdfpatch_lines(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """M1-M4 surface: fully rendered `+ s p o <g> .` patch lines
     (vql_create_nquad, utils.sql:23-30)."""
