@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate by construction -> rows-only (error bound + exact-merge
         # property covered in pytest)
         "sketch_distinct_users": lambda sf: sk.events_distinct_users(sf),
+        # EXACT despite the sketch: Misra-Gries candidates -> exact recount
+        "text_heavy_hitters": lambda sf: sk.heavy_hitters(sf),
     }
 
 
@@ -123,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
     from virtuoso_quad_log_ray.stages import dedup as dd
     from virtuoso_quad_log_ray.stages import multimodal as mm
     from virtuoso_quad_log_ray.stages import similarity as sim
+    from virtuoso_quad_log_ray.stages import sketches as sk
     from virtuoso_quad_log_ray.stages import textstats as tx
     from virtuoso_quad_log_ray.stages import webstats as ws
 
@@ -181,4 +184,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_state_replay": cl.replay_state_sql(),
         "dedup_incremental": dd.dedup_incremental_sql(),
         "text_corpus_curate": tx.corpus_curate_sql(),
+        "text_heavy_hitters": sk.heavy_hitters_sql(),
     }

@@ -643,3 +643,66 @@ class TestCorpusCurate:
         # keep-first: curated urls are unique and <= gate survivors
         assert len(set(curated["url"].to_pylist())) == len(curated)
         assert len(curated) <= len(gated)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHitters:
+    def test_matches_oracle(self, oracle):
+        from virtuoso_quad_log_ray.stages import sketches as sk
+
+        assert_matches_oracle(
+            sk.heavy_hitters(SF_SMALL), oracle, sk.heavy_hitters_sql(), ["term"]
+        )
+
+    def test_exact_under_forced_mg_compression(self):
+        """Per-block vocab far above k forces the MG decrement on every
+        block; the two-pass recount must still be EXACT."""
+        import pyarrow as pa
+        import ray.data
+
+        from virtuoso_quad_log_ray.stages import sketches as sk
+
+        phi = 0.05  # k = 40 counters; each block below carries ~1000+ terms
+        blocks, rare_id = [], 0
+        for blk in range(8):
+            texts = []
+            # hot terms present in every block
+            texts.append(" ".join(["hot1"] * 100))
+            if blk < 5:
+                texts.append(" ".join(["hot2"] * 100))
+            # ~1087 distinct once-only rare terms per block
+            for _ in range(4):
+                row = " ".join(f"r{rare_id + i}" for i in range(272))
+                rare_id += 272
+                texts.append(row)
+            if blk == 0:
+                texts.append(None)  # null text row must not poison the scan
+            blocks.append(pa.table({"text": pa.array(texts, type=pa.string())}))
+        ds = ray.data.from_arrow(blocks)
+        n = 8 * 100 + 5 * 100 + rare_id  # 10_004 tokens
+        got = {
+            r["term"]: r["n_occurrences"]
+            for r in to_arrow(sk.heavy_hitters_over(ds, phi=phi)).to_pylist()
+        }
+        import math
+
+        min_count = math.ceil(phi * n)  # 501
+        assert got == {"hot1": 800}, (got, min_count, n)
+
+    def test_threshold_boundary_inclusive(self):
+        """A term sitting exactly on ceil(phi*n) is included (>= semantics)."""
+        import pyarrow as pa
+        import ray.data
+
+        from virtuoso_quad_log_ray.stages import sketches as sk
+
+        # 100 tokens total, phi=0.1 -> min_count=10; "edge" appears exactly 10x
+        filler = " ".join(f"f{i}" for i in range(90))
+        t = pa.table({"text": pa.array([" ".join(["edge"] * 10), filler])})
+        got = {
+            r["term"]: r["n_occurrences"]
+            for r in to_arrow(
+                sk.heavy_hitters_over(ray.data.from_arrow(t), phi=0.1)
+            ).to_pylist()
+        }
+        assert got == {"edge": 10}

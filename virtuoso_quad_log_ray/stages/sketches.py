@@ -172,3 +172,218 @@ def events_distinct_users(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates -> exact recount (two passes, EXACT)
+# ---------------------------------------------------------------------------
+
+HH_PHI_DEFAULT = 1.0 / 64.0  # exact in binary; engine and oracle agree bit-for-bit
+
+
+def heavy_hitters(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    phi: float = HH_PHI_DEFAULT,
+) -> ray.data.Dataset:
+    """Corpus heavy hitters over the pages table — see ``heavy_hitters_over``."""
+    from virtuoso_quad_log_ray.sources.pages import read_pages
+
+    return heavy_hitters_over(read_pages(sf_dir, include_html=False), cfg, phi=phi)
+
+
+def heavy_hitters_over(
+    pages: ray.data.Dataset,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    phi: float = HH_PHI_DEFAULT,
+) -> ray.data.Dataset:
+    """EXACT corpus heavy hitters with bounded memory: every whitespace
+    token whose total occurrence count is >= ceil(phi * total_tokens),
+    with its exact count — the vocabulary-pruning / hot-token scan of a
+    tokenizer build, runnable at 100 TB because no vocabulary-sized state
+    ever concentrates anywhere.
+
+    Classic two-pass shape (Misra-Gries "frequent" + exact recount;
+    Agarwal et al., "Mergeable Summaries", PODS'12 for the merge bound):
+
+      pass 1  per block: exact in-block counts (C++ group_by), then
+              MG-compress to k = ceil(2/phi) counters by subtracting the
+              (k+1)-th largest count — undercount t_b <= n_b/(k+1). Each
+              block ships <= k survivor rows plus two meta rows (block
+              token total, block undercount). One ``bucket_aggregate``
+              sums survivors and meta; since sum(t_b) <= n/(k+1) <=
+              phi*n/2, every term with true count >= ceil(phi*n) keeps a
+              merged lower bound >= min_count - sum(t_b) > 0 — the
+              candidate filter below is a guaranteed SUPERSET, and at most
+              n / (min_count - sum_t) <= ~2/phi terms pass it, so the
+              driver pulls a k-bounded candidate list, never a vocabulary.
+      pass 2  broadcast the candidate terms; per block count ONLY
+              candidates (is_in mask + C++ group_by), one k-bounded
+              ``bucket_aggregate``, exact HAVING filter.
+
+    Exactness (not an approximation) is what makes this oracle-checkable:
+    the driver compares it row-for-row against plain GROUP BY ... HAVING.
+    """
+    import math
+
+    from virtuoso_quad_log_ray.numerics import hash128 as _h128
+    from virtuoso_quad_log_ray.stages.shuffle import bucket_aggregate, scrub_empty_blocks
+
+    k = int(math.ceil(2.0 / phi))
+
+    def _flat_tokens(b: pa.Table) -> pa.Array:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if text.null_count:
+            text = pc.fill_null(text, "")
+        return pc.list_flatten(pc.split_pattern(text, " "))
+
+    def mg_partial(b: pa.Table) -> pa.Table:
+        flat = _flat_tokens(b)
+        n_block = len(flat)
+        counts = pa.table({"term": flat}).group_by(["term"]).aggregate(
+            [("term", "count")]
+        )
+        terms = counts["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        c = counts["term_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) > k:
+            # (k+1)-th largest count; at most k terms exceed it strictly
+            t = int(np.partition(c, len(c) - k - 1)[len(c) - k - 1])
+            keep = c > t
+            terms = pc.filter(terms, pa.array(keep))
+            c = c[keep] - t
+        else:
+            t = 0
+        h1, _ = _h128(terms)
+        out = pa.table(
+            {
+                "kind": pa.array(np.zeros(len(c), dtype=np.int64)),
+                "term": terms.cast(pa.string()),
+                "h": pa.array(h1),
+                "c": pa.array(c),
+            }
+        )
+        meta = pa.table(
+            {
+                "kind": pa.array([1, 2], type=pa.int64()),
+                "term": pa.array(["", ""], type=pa.string()),
+                "h": pa.array([1, 2], type=pa.int64()),
+                "c": pa.array([n_block, t], type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, meta])
+
+    sketch = scrub_empty_blocks(
+        bucket_aggregate(
+            pages.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["kind", "term"],
+            [("c", "sum")],
+            hash_col="h",
+        )
+    )
+    # meta rows: 2 rows -> driver scalars (sketch-sized take, like the
+    # k-means partials / trigram model pulls elsewhere in the engine)
+    meta_t = pa.concat_tables(
+        [
+            t
+            for t in (
+                ray.get(r)
+                for r in sketch.map_batches(
+                    lambda b: b.filter(pc.not_equal(b["kind"], 0)),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).to_arrow_refs()
+            )
+            if t.num_columns
+        ]
+    )
+    meta = dict(zip(meta_t["kind"].to_pylist(), meta_t["c_sum"].to_pylist()))
+    n_total, sum_t = int(meta.get(1, 0)), int(meta.get(2, 0))
+    if n_total == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "n_occurrences": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    min_count = int(math.ceil(phi * n_total))
+    lb = max(1, min_count - sum_t)
+
+    def cand_filter(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(b["kind"], 0), pc.greater_equal(b["c_sum"], lb))
+        return b.filter(mask).select(["term"])
+
+    cand_t = pa.concat_tables(
+        [
+            t
+            for t in (
+                ray.get(r)
+                for r in sketch.map_batches(
+                    cand_filter, batch_format="pyarrow", zero_copy_batch=True
+                ).to_arrow_refs()
+            )
+            if t.num_columns
+        ]
+    )
+    candidates = cand_t["term"].combine_chunks()  # <= ~2/phi terms, k-bounded
+    if len(candidates) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "n_occurrences": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        flat = _flat_tokens(b)
+        hits = pc.filter(flat, pc.is_in(flat, value_set=candidates))
+        part = pa.table({"term": hits}).group_by(["term"]).aggregate(
+            [("term", "count")]
+        )
+        terms = part["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        h1, _ = _h128(terms)
+        return pa.table(
+            {
+                "term": terms.cast(pa.string()),
+                "h": pa.array(h1),
+                "c": pc.cast(part["term_count"], pa.int64()),
+            }
+        )
+
+    exact = bucket_aggregate(
+        pages.map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"],
+        [("c", "sum")],
+        hash_col="h",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        out = b.filter(pc.greater_equal(b["c_sum"], min_count))
+        return pa.table(
+            {"term": out["term"], "n_occurrences": pc.cast(out["c_sum"], pa.int64())}
+        )
+
+    return exact.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def heavy_hitters_sql(phi: float = HH_PHI_DEFAULT) -> str:
+    from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE
+
+    return (
+        "WITH " + PAGES_SQL_CTE + ",\n"
+        "hh_toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM pages),\n"
+        "hh_tot AS (SELECT count(*)::DOUBLE AS n FROM hh_toks)\n"
+        "SELECT term, count(*)::BIGINT AS n_occurrences FROM hh_toks GROUP BY term\n"
+        f"HAVING count(*) >= (SELECT CAST(ceil({phi!r} * n) AS BIGINT) FROM hh_tot)"
+    )
