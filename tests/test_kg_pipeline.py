@@ -331,3 +331,89 @@ class TestJsonlSource:
             [(c, "ascending") for c in ("s", "p", "o", "g")]
         )
         assert got.equals(expect) and len(got) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonlSink:
+    """Distributed JSONL export: bucketed shards + committed manifest;
+    read_jsonl_corpus restores the exact page set (minus html, which JSON
+    cannot carry)."""
+
+    def test_jsonl_corpus_distributed_roundtrip(self, tmp_path):
+        import hashlib
+        import os
+
+        from virtuoso_quad_log_ray.sources.pages import (
+            read_jsonl_corpus,
+            read_pages,
+            write_jsonl_corpus,
+        )
+
+        root = str(tmp_path / "jsonl_out")
+        pages = read_pages(SF_SMALL, include_html=False)
+        pages_tbl = to_arrow(pages).sort_by("url")
+        man = write_jsonl_corpus(pages, root, epoch="E1", n_buckets=4)
+        assert man.kind == "jsonl"
+        assert man.quad_count == len(pages_tbl)
+        assert man.file_count >= 2  # really sharded
+        assert all(e.name.endswith(".jsonl") for e in man.files)
+        for e in man.files:  # resumable-output contract: md5/length honest
+            blob = open(os.path.join(root, e.name), "rb").read()
+            assert hashlib.md5(blob).hexdigest() == e.md5
+            assert len(blob) == e.length
+
+        # a stray uncommitted .part shard must be invisible to the reader
+        with open(os.path.join(root, "shard-99999.jsonl.part"), "w") as f:
+            f.write('{"url": "bogus", "text": "x"}\n')
+
+        back = to_arrow(read_jsonl_corpus(root)).sort_by("url")
+        assert back["url"].to_pylist() == pages_tbl["url"].to_pylist()
+        assert back["warc_ts"].to_pylist() == pages_tbl["warc_ts"].to_pylist()
+        assert back["text"].to_pylist() == pages_tbl["text"].to_pylist()
+        assert back["lang"].to_pylist() == pages_tbl["lang"].to_pylist()
+
+    def test_jsonl_escaping_roundtrip(self, tmp_path):
+        """Quotes, backslashes, newlines and raw control bytes in text must
+        survive the write -> read cycle byte-for-byte."""
+        import ray.data
+
+        from virtuoso_quad_log_ray.sources.pages import (
+            read_jsonl_corpus,
+            write_jsonl_corpus,
+        )
+
+        nasty = [
+            'he said "hi" \\ and left',
+            "line1\nline2\ttab\rcr",
+            "ctl:\x01\x02\x1f end",
+            "unicode: é中�",
+        ]
+        t = pa.table(
+            {
+                "url": pa.array([f"https://n/{i}" for i in range(len(nasty))]),
+                "warc_ts": pa.array([1700000000 + i for i in range(len(nasty))], type=pa.timestamp("s")),
+                "text": pa.array(nasty),
+                "lang": pa.array(["en"] * len(nasty)),
+            }
+        )
+        root = str(tmp_path / "nasty_out")
+        write_jsonl_corpus(ray.data.from_arrow(t), root, n_buckets=2)
+        back = to_arrow(read_jsonl_corpus(root)).sort_by("url")
+        assert back["text"].to_pylist() == nasty
+        assert back["warc_ts"].to_pylist() == t["warc_ts"].to_pylist()
+
+    def test_cli_export_jsonl(self, tmp_path):
+        """CLI writes shards + manifest from a real pages Parquet table."""
+        import pyarrow.parquet as pq
+
+        from virtuoso_quad_log_ray.__main__ import main
+        from virtuoso_quad_log_ray.sources.pages import read_pages
+
+        src = str(tmp_path / "pages.parquet")
+        pq.write_table(to_arrow(read_pages(SF_SMALL, include_html=True)), src)
+        out = str(tmp_path / "cli_jsonl")
+        assert main(["export-jsonl", "--pages", src, "--out", out, "--buckets", "3"]) == 0
+        from virtuoso_quad_log_ray.state.manifest import load_manifest
+
+        man = load_manifest(out)
+        assert man is not None and man.kind == "jsonl" and man.file_count >= 2

@@ -6,6 +6,7 @@
     python -m virtuoso_quad_log_ray materialize --sf DIR --out DIR [--buckets N]
     python -m virtuoso_quad_log_ray run     --sf DIR --out SINK --interval N [--max-runs K]
     python -m virtuoso_quad_log_ray export-warc --pages TABLE --out DIR [--buckets N]
+    python -m virtuoso_quad_log_ray export-jsonl --pages TABLE --out DIR [--buckets N]
     python -m virtuoso_quad_log_ray validate --sf DIR [--out SINK]
 
 Each invocation is one bounded run (the reference's poll loop,
@@ -84,6 +85,14 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--buckets", type=int, default=None, help="default: adaptive (16/CPU)")
     w.add_argument("--epoch", default=None)
 
+    j = sub.add_parser(
+        "export-jsonl", help="pages corpus -> bucketed JSONL shards + manifest"
+    )
+    j.add_argument("--pages", required=True, help="pages Parquet file/dir (input_hint schema)")
+    j.add_argument("--out", required=True)
+    j.add_argument("--buckets", type=int, default=None, help="default: adaptive (16/CPU)")
+    j.add_argument("--epoch", default=None)
+
     v = sub.add_parser("validate", help="startup checks only")
     v.add_argument("--sf", required=True)
     v.add_argument("--out", default=None)
@@ -153,6 +162,19 @@ def main(argv: list[str] | None = None) -> int:
                 n_buckets=args.buckets,
             )
             print(f"export-warc: {man.quad_count} records in {man.file_count} shards")
+        elif args.cmd == "export-jsonl":
+            from virtuoso_quad_log_ray.sources.pages import (
+                read_pages_parquet,
+                write_jsonl_corpus,
+            )
+
+            man = write_jsonl_corpus(
+                read_pages_parquet(args.pages, include_html=False),
+                args.out,
+                epoch=epoch,
+                n_buckets=args.buckets,
+            )
+            print(f"export-jsonl: {man.quad_count} records in {man.file_count} shards")
         elif args.cmd == "materialize":
             from virtuoso_quad_log_ray.pipelines.kg import build_quads, dedup_quads
             from virtuoso_quad_log_ray.pipelines.materialize import materialize_quads

@@ -258,3 +258,123 @@ def read_pages(
     if not include_html:
         ds = ds.drop_columns(["html"])
     return ds
+
+
+def write_jsonl_corpus(
+    pages: ray.data.Dataset,
+    out_root: str,
+    *,
+    epoch: str = "",
+    n_buckets: int | None = None,
+) -> "RunManifest":
+    """Distributed JSONL export — the C4/Pile-style delivery format a
+    curated LLM training corpus actually ships in (one JSON object per
+    line: url, warc_ts as epoch seconds, text, lang).
+
+    Same commit/resume shape as the WARC sink (``warc.write_warc_corpus``)
+    and the patch sink (``publish.write_rdfpatch``): one bucketed
+    ``groupby(hash(url) % n_buckets).map_groups`` writes one
+    ``shard-K.jsonl`` per bucket (``.part`` + rename, rows sorted by
+    (url, warc_ts) for deterministic bytes), only file metadata returns to
+    the driver, and the manifest commits LAST so crashed runs leave no
+    visible partial output. Rendering is polars ``write_ndjson`` — one
+    vectorized Rust pass with full JSON string escaping, no per-row
+    Python. Round-trips through ``read_pages_jsonl`` (epoch-int ts path).
+    """
+    import hashlib
+    import io
+    import os
+
+    from virtuoso_quad_log_ray.pipelines.materialize import (
+        _bucket_of,
+        default_n_buckets,
+    )
+    from virtuoso_quad_log_ray.state.manifest import (
+        FileEntry,
+        RunManifest,
+        commit_manifest,
+    )
+
+    nb = n_buckets or default_n_buckets()
+    os.makedirs(out_root, exist_ok=True)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return b.select(["url", "warc_ts", "text", "lang"]).append_column(
+            "bucket", _bucket_of(b["url"], nb)
+        )
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")  # see numerics.py:74
+        import polars as pl
+
+        bucket = int(group["bucket"][0].as_py())
+        rel = f"shard-{bucket:05d}.jsonl"
+        order = pc.sort_indices(
+            group, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
+        )
+        t = group.take(order)
+        out_t = pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": pc.cast(
+                    pc.cast(t["warc_ts"], pa.timestamp("s")), pa.int64()
+                ),
+                "text": t["text"],
+                "lang": t["lang"],
+            }
+        )
+        buf = io.BytesIO()
+        pl.from_arrow(out_t).write_ndjson(buf)
+        data = buf.getvalue()
+        final = os.path.join(out_root, rel)
+        part = final + ".part"
+        with open(part, "wb") as f:
+            f.write(data)
+        os.replace(part, final)
+        return pa.table(
+            {
+                "name": pa.array([rel], type=pa.string()),
+                "amount": pa.array([len(t)], type=pa.int64()),
+                "md5": pa.array([hashlib.md5(data).hexdigest()], type=pa.string()),
+                "length": pa.array([len(data)], type=pa.int64()),
+            }
+        )
+
+    meta = (
+        pages.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    files = sorted(
+        (
+            FileEntry(r["name"], "", int(r["amount"]), r["md5"], int(r["length"]))
+            for r in meta
+        ),
+        key=lambda e: e.name,
+    )
+    manifest = RunManifest(
+        epoch=epoch,
+        checkpoint="",
+        kind="jsonl",
+        quad_count=sum(e.amount for e in files),
+        file_count=len(files),
+        files=files,
+    )
+    commit_manifest(out_root, manifest)
+    return manifest
+
+
+def read_jsonl_corpus(out_root: str, *, default_lang: str = "und") -> ray.data.Dataset:
+    """Committed JSONL shards -> pages Dataset (manifest-listed; uncommitted
+    ``.part`` shards are invisible — the sham-sentinel visibility contract,
+    generate-rdfpatch.sh:259-261)."""
+    import os
+
+    from virtuoso_quad_log_ray.state.manifest import load_manifest
+
+    manifest = load_manifest(out_root)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed manifest under {out_root}")
+    paths = [os.path.join(out_root, e.name) for e in manifest.files]
+    return read_pages_jsonl(paths, default_lang=default_lang)
