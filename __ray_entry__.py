@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_asof_prev_event": lambda sf: rel.asof_prev_event(sf),
         "rel_range_window": lambda sf: rel.range_window_counts(sf),
         "text_sample_stratified": lambda sf: tx.sample_stratified(sf),
+        # deterministic seeded shuffle into training shards (stable across
+        # runs and cluster sizes, unlike random_shuffle)
+        "text_shuffle_shards": lambda sf: tx.shuffle_shards(sf),
         "text_contamination": lambda sf: tx.contamination(sf),
         "text_pack_plan": lambda sf: tx.pack_plan(sf),
         "text_repetition": lambda sf: tx.text_repetition(sf),
@@ -169,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_asof_prev_event": rel.ASOF_PREV_EVENT_SQL,
         "rel_range_window": rel.RANGE_WINDOW_COUNTS_SQL,
         "text_sample_stratified": tx.sample_stratified_sql(),
+        "text_shuffle_shards": tx.shuffle_shards_sql(),
         "text_contamination": tx.contamination_sql(),
         "text_pack_plan": tx.pack_plan_sql(),
         "text_repetition": tx.TEXT_REPETITION_SQL,

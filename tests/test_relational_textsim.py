@@ -706,3 +706,34 @@ class TestHeavyHitters:
             ).to_pylist()
         }
         assert got == {"edge": 10}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShuffleShards:
+    def test_matches_oracle(self, oracle):
+        assert_matches_oracle(
+            tx.shuffle_shards(SF_SMALL), oracle, tx.shuffle_shards_sql(), ["url"]
+        )
+
+    def test_positions_are_contiguous_per_shard(self):
+        import collections
+
+        t = to_arrow(tx.shuffle_shards(SF_SMALL))
+        by_shard = collections.defaultdict(list)
+        for s, p in zip(t["shard"].to_pylist(), t["pos"].to_pylist()):
+            by_shard[s].append(p)
+        assert set(by_shard) <= set(range(tx.SHUFFLE_SHARDS))
+        for s, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), s
+
+    def test_seed_changes_order_but_not_membership(self):
+        a = to_arrow(tx.shuffle_shards(SF_SMALL, seed="A"))
+        b = to_arrow(tx.shuffle_shards(SF_SMALL, seed="B"))
+        assert sorted(a["url"].to_pylist()) == sorted(b["url"].to_pylist())
+        pa_map = dict(zip(a["url"].to_pylist(), zip(a["shard"].to_pylist(), a["pos"].to_pylist())))
+        pb_map = dict(zip(b["url"].to_pylist(), zip(b["shard"].to_pylist(), b["pos"].to_pylist())))
+        assert pa_map != pb_map  # a different seed is a different shuffle
+        # same seed is byte-stable across runs
+        a2 = to_arrow(tx.shuffle_shards(SF_SMALL, seed="A"))
+        pa2_map = dict(zip(a2["url"].to_pylist(), zip(a2["shard"].to_pylist(), a2["pos"].to_pylist())))
+        assert pa_map == pa2_map

@@ -1344,3 +1344,124 @@ def tfidf_top_terms_sql(k: int = TFIDF_TOP_K) -> str:
         "    FROM tf t JOIN df d USING (term)\n"
         f") WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle into training shards
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = "r4"
+
+
+def shuffle_shards(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n_shards: int = SHUFFLE_SHARDS,
+    seed: str = SHUFFLE_SEED,
+) -> ray.data.Dataset:
+    """Deterministic corpus shuffle into training shards: every page gets a
+    shard id and a 1-based POSITION inside that shard, both derived only
+    from md5(url || '#' || seed) — the data-ordering step before LLM
+    training (epoch order must be pseudo-random, reproducible from the seed
+    alone, and stable across cluster sizes/resumes; ``ds.random_shuffle``
+    gives none of those). Changing the seed reshuffles; re-running does not.
+
+    Distributed shape: the one legitimate all-to-all here is the global
+    sort by (shard, hashkey) — a total order is the OUTPUT, not an
+    implementation choice. Ranking over the sorted blocks is the
+    zip-with-index pattern of ``canonicalize._rank_nodes``: per-block row
+    counts and per-block (shard, first-rank) minima — metadata, a few ints
+    per block — come back to the driver, a cumsum/min turns them into
+    offsets, and one tiny task per block appends offset+arange. Block
+    payloads never touch the driver. md5 is a per-row Python loop by
+    oracle-pinned necessity (same accepted residual as ``shard_plan``).
+
+    Output: (url, shard, pos) with pos = ROW_NUMBER() within shard ordered
+    by the salted md5 hex.
+    """
+    pages = read_pages(sf_dir, include_html=False)
+
+    def key(b: pa.Table) -> pa.Table:
+        urls = b["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        hexes = [
+            hashlib.md5(f"{u}#{seed}".encode()).hexdigest() for u in urls.to_pylist()
+        ]
+        shard = np.fromiter(
+            (int(h[:8], 16) % n_shards for h in hexes), dtype=np.int64, count=len(hexes)
+        )
+        return pa.table(
+            {
+                "url": urls,
+                "shard": pa.array(shard),
+                "k": pa.array(hexes, type=pa.string()),
+            }
+        )
+
+    sorted_ds = (
+        pages.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["shard", "k"])
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _meta(t: pa.Table) -> tuple:
+        """(row count, per-shard first local index) — metadata only."""
+        if t.num_rows == 0:  # empty sort partitions carry no schema
+            return 0, {}
+        sh = t["shard"].to_numpy(zero_copy_only=False)
+        firsts = {}
+        change = np.flatnonzero(np.diff(sh, prepend=sh[0] - 1 if len(sh) else 0))
+        for i in change:
+            firsts[int(sh[i])] = int(i)
+        return t.num_rows, firsts
+
+    @ray.remote(num_cpus=0.25)
+    def _with_pos(t: pa.Table, off: int, starts: dict) -> pa.Table:
+        sh = t["shard"].to_numpy(zero_copy_only=False)
+        grank = np.arange(off, off + t.num_rows, dtype=np.int64)
+        start_arr = np.fromiter(
+            (starts[int(s)] for s in sh), dtype=np.int64, count=len(sh)
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "shard": t["shard"],
+                "pos": pa.array(grank - start_arr + 1),
+            }
+        )
+
+    metas = ray.get([_meta.remote(r) for r in refs])
+    counts = [m[0] for m in metas]
+    offsets = np.concatenate([[0], np.cumsum(counts[:-1])]) if counts else []
+    # global first-rank per shard (min over blocks of block_offset + local)
+    starts: dict[int, int] = {}
+    for (n, firsts), off in zip(metas, offsets):
+        for s, li in firsts.items():
+            g = int(off) + li
+            if s not in starts or g < starts[s]:
+                starts[s] = g
+    return ray.data.from_arrow_refs(
+        [
+            _with_pos.remote(r, int(o), starts)
+            for r, o, n in zip(refs, offsets, counts)
+            if n
+        ]
+    )
+
+
+def shuffle_shards_sql(
+    n_shards: int = SHUFFLE_SHARDS, seed: str = SHUFFLE_SEED
+) -> str:
+    h = f"md5(url || '#{seed}')"
+    shard = f"CAST(('0x' || substr({h}, 1, 8)) AS BIGINT) % {n_shards}"
+    return (
+        "WITH " + PAGES_SQL_CTE + "\n"
+        f"SELECT url, {shard} AS shard,\n"
+        f"  ROW_NUMBER() OVER (PARTITION BY {shard} ORDER BY {h}) AS pos\n"
+        "FROM pages"
+    )
