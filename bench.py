@@ -165,6 +165,9 @@ def run_suite() -> dict:
         "quads": quads,
         "quads_per_sec": round(quads / headline_sec, 1),
         "replicate": REPLICATE,
+        # host weather at measurement time: suite numbers are comparable
+        # across rounds only at similar fault_gbps (see host_health)
+        "platform": host_health(),
     }
 
 
@@ -214,7 +217,38 @@ def _probe_worker(core: int, kind: str, dur: float, q) -> None:
             hashlib.sha256(buf).digest()
             n += 1
         q.put(n)
-    else:  # membw: streaming copies of an LLC-busting buffer
+    elif kind == "membw":  # streaming copies of an LLC-busting buffer
+        import numpy as np
+
+        a = np.zeros(64 * 1024 * 1024, dtype=np.uint8)
+        t0 = _t.perf_counter()
+        n = 0
+        while _t.perf_counter() - t0 < dur:
+            b = a.copy()
+            del b
+            n += 1
+        q.put(n)
+    elif kind == "stream":  # prefaulted copies: the BUS, no page faults
+        import numpy as np
+
+        a = np.zeros(64 * 1024 * 1024, dtype=np.uint8)
+        b = np.empty_like(a)
+        np.copyto(b, a)
+        t0 = _t.perf_counter()
+        n = 0
+        while _t.perf_counter() - t0 < dur:
+            np.copyto(b, a)
+            n += 1
+        q.put(n)
+    else:  # fault: FRESH 64 MB allocations — page-POPULATION rate.
+        # Same work as `membw` (a.copy() allocates anew each pass), kept as
+        # a separate absolute single-core reading next to `stream`: on this
+        # shared VM the host overcommits memory, and when it is reclaiming
+        # (ballooning/KSM) populating a new page costs ~ms — this rate
+        # collapses ~100x below `stream` while cpu and stream stay normal
+        # (measured 0.1 vs 10.5 GB/s in the same minute). Allocation-heavy
+        # Ray stages (every Arrow batch, every plasma buffer) ride this
+        # rate, so suite numbers are only comparable at similar fault_gbps.
         import numpy as np
 
         a = np.zeros(64 * 1024 * 1024, dtype=np.uint8)
@@ -252,7 +286,20 @@ def platform_probe(lo: int, hi: int) -> dict:
     ratio = hi / lo
     cpu = _probe_rate(hi, "cpu") / _probe_rate(lo, "cpu") / ratio
     mem = _probe_rate(hi, "membw") / _probe_rate(lo, "membw") / ratio
-    return {"cpu_eff": round(cpu, 3), "membw_eff": round(mem, 3)}
+    return {"cpu_eff": round(cpu, 3), "membw_eff": round(mem, 3), **host_health()}
+
+
+def host_health(dur: float = 2.0) -> dict:
+    """Absolute single-core GB/s for prefaulted copies (`stream_gbps`, the
+    bus) vs fresh-allocation copies (`fault_gbps`, page population). On a
+    healthy host the two are within ~2x; when the hypervisor is reclaiming
+    overcommitted memory, fault_gbps collapses ~100x and every
+    allocation-heavy measurement taken in that window is invalid. Emitted
+    with every suite/scaling JSON so numbers carry their own weather
+    report."""
+    stream = _probe_rate(1, "stream", dur) * 64 / 1024
+    fault = _probe_rate(1, "fault", dur) * 64 / 1024
+    return {"stream_gbps": round(stream, 2), "fault_gbps": round(fault, 2)}
 
 
 def run_scaling() -> dict:
