@@ -737,3 +737,23 @@ class TestShuffleShards:
         a2 = to_arrow(tx.shuffle_shards(SF_SMALL, seed="A"))
         pa2_map = dict(zip(a2["url"].to_pylist(), zip(a2["shard"].to_pylist(), a2["pos"].to_pylist())))
         assert pa_map == pa2_map
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateToJsonl:
+    def test_curated_corpus_ships_and_reads_back(self, tmp_path):
+        from virtuoso_quad_log_ray.sources.pages import read_jsonl_corpus
+
+        root = str(tmp_path / "delivery")
+        man = tx.curate_to_jsonl(SF_SMALL, root, epoch="E9")
+        curated = to_arrow(tx.corpus_curate(SF_SMALL))
+        assert man.quad_count == len(curated)
+        back = to_arrow(read_jsonl_corpus(root))
+        assert sorted(back["url"].to_pylist()) == sorted(curated["url"].to_pylist())
+        # delivered text is the real page text (spot-check via pages join)
+        from virtuoso_quad_log_ray.sources.pages import read_pages
+
+        pages = to_arrow(read_pages(SF_SMALL, include_html=False))
+        texts = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+        for u, t in zip(back["url"].to_pylist()[:25], back["text"].to_pylist()[:25]):
+            assert texts[u] == t

@@ -1465,3 +1465,31 @@ def shuffle_shards_sql(
         f"  ROW_NUMBER() OVER (PARTITION BY {shard} ORDER BY {h}) AS pos\n"
         "FROM pages"
     )
+
+
+def curate_to_jsonl(
+    sf_dir: str,
+    out_root: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n_shards: int = 16,
+    epoch: str = "",
+):
+    """Curation flagship -> delivery: run ``corpus_curate`` (gate ->
+    exact-dedup keep-first -> shard plan), join the surviving urls back to
+    their page rows (ONE hash join on url — the curated set is the small
+    side at any scale where curation rejects anything), and ship the result
+    as committed JSONL shards via ``write_jsonl_corpus``. Returns the sink
+    manifest; record count == curated-set size by construction.
+    """
+    from virtuoso_quad_log_ray.sources.pages import read_pages, write_jsonl_corpus
+    from virtuoso_quad_log_ray.stages.shuffle import join_kwargs, scrub_empty_blocks
+
+    curated = scrub_empty_blocks(
+        corpus_curate(sf_dir, cfg, n_shards=n_shards).map_batches(
+            lambda b: b.select(["url"]), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    pages = read_pages(sf_dir, include_html=False)
+    kept = pages.join(curated, join_type="inner", on=("url",), **join_kwargs(cfg))
+    return write_jsonl_corpus(kept, out_root, epoch=epoch)
