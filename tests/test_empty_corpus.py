@@ -87,3 +87,26 @@ def test_empty_pair_schemas(empty_sf):
         "url_b",
         "est_jaccard_ppm",
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_corpus_round4_operators(empty_sf):
+    """The late-round-4 operators hold the same empty-corpus contract."""
+    from virtuoso_quad_log_ray.pipelines import changelog as cl
+    from virtuoso_quad_log_ray.pipelines import kg
+    from virtuoso_quad_log_ray.stages import dedup as dd
+    from virtuoso_quad_log_ray.stages import sketches as sk
+    from virtuoso_quad_log_ray.stages import textstats as tx
+
+    cases = {
+        "entity_cooccur": kg.entity_cooccur(empty_sf),
+        "entity_pagerank": kg.entity_pagerank(empty_sf),
+        "state_replay": cl.replay_state(empty_sf),
+        "dedup_incremental": dd.dedup_incremental(empty_sf),
+        "heavy_hitters": sk.heavy_hitters(empty_sf),
+        "shuffle_shards": tx.shuffle_shards(empty_sf),
+        "corpus_curate": tx.corpus_curate(empty_sf),
+    }
+    for name, ds in cases.items():
+        t = to_arrow(ds)
+        assert len(t) == 0, name

@@ -140,8 +140,20 @@ def diff_quads(
     return joined.map_batches(to_changelog, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _empty_quads(with_op: bool = False) -> ray.data.Dataset:
+    cols: dict = {"op": pa.array([], type=pa.string())} if with_op else {}
+    cols.update({c: pa.array([], type=pa.string()) for c in ("s", "p", "o", "g")})
+    return ray.data.from_arrow(pa.table(cols))
+
+
 def changelog(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """The v1 -> v2 changelog over the deterministic snapshot pair."""
+    from virtuoso_quad_log_ray.sources.pages import corpus_num_rows
+
+    if corpus_num_rows(sf_dir) == 0:
+        # footer-metadata probe (no extra pipeline pass): Ray's hash join
+        # cannot resolve key fields over a fully empty, schemaless input
+        return _empty_quads(with_op=True)
     return diff_quads(quads_version(sf_dir, 1, cfg), quads_version(sf_dir, 2, cfg), cfg)
 
 
@@ -201,7 +213,11 @@ def replay_state(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Da
     at 100 TB the production form checkpoints the patch run to Parquet (the
     publish sink already does) and reads it twice, never re-deriving it.
     """
+    from virtuoso_quad_log_ray.sources.pages import corpus_num_rows
     from virtuoso_quad_log_ray.stages.shuffle import self_join_input
+
+    if corpus_num_rows(sf_dir) == 0:  # see changelog(): empty-join guard
+        return _empty_quads()
 
     prev = quads_version(sf_dir, 1, cfg)
     log = self_join_input(changelog(sf_dir, cfg))

@@ -378,3 +378,23 @@ def read_jsonl_corpus(out_root: str, *, default_lang: str = "und") -> ray.data.D
         raise FileNotFoundError(f"no committed manifest under {out_root}")
     paths = [os.path.join(out_root, e.name) for e in manifest.files]
     return read_pages_jsonl(paths, default_lang=default_lang)
+
+
+def corpus_num_rows(sf_dir: str) -> int:
+    """Documents-table row count from the Parquet FOOTER — metadata only,
+    no data read, no pipeline execution. Join pipelines use it to
+    short-circuit over an empty corpus (Ray's hash join cannot resolve key
+    fields over a fully empty, schemaless input) without paying an extra
+    corpus-sized count() pass on the non-empty path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):  # sharded layout: sum footer counts
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows

@@ -903,6 +903,19 @@ def dedup_incremental(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.da
     import hashlib
 
     from virtuoso_quad_log_ray.pipelines.changelog import _pages_version
+    from virtuoso_quad_log_ray.sources.pages import corpus_num_rows
+
+    if corpus_num_rows(sf_dir) == 0:
+        # footer-metadata probe: Ray's hash join cannot resolve key fields
+        # over a fully empty, schemaless input (no extra pipeline pass)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "content_md5": pa.array([], type=pa.string()),
+                }
+            )
+        )
 
     def fp_batch(with_url: bool):
         def fn(batch: pa.Table) -> pa.Table:

@@ -288,22 +288,24 @@ def heavy_hitters_over(
     )
     # meta rows: 2 rows -> driver scalars (sketch-sized take, like the
     # k-means partials / trigram model pulls elsewhere in the engine)
-    meta_t = pa.concat_tables(
-        [
-            t
-            for t in (
-                ray.get(r)
-                for r in sketch.map_batches(
-                    lambda b: b.filter(pc.not_equal(b["kind"], 0)),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                ).to_arrow_refs()
-            )
-            if t.num_columns
-        ]
-    )
-    meta = dict(zip(meta_t["kind"].to_pylist(), meta_t["c_sum"].to_pylist()))
-    n_total, sum_t = int(meta.get(1, 0)), int(meta.get(2, 0))
+    meta_tables = [
+        t
+        for t in (
+            ray.get(r)
+            for r in sketch.map_batches(
+                lambda b: b.filter(pc.not_equal(b["kind"], 0)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_arrow_refs()
+        )
+        if t.num_columns
+    ]
+    if not meta_tables:  # empty corpus: no blocks survive the aggregate
+        n_total, sum_t = 0, 0
+    else:
+        meta_t = pa.concat_tables(meta_tables)
+        meta = dict(zip(meta_t["kind"].to_pylist(), meta_t["c_sum"].to_pylist()))
+        n_total, sum_t = int(meta.get(1, 0)), int(meta.get(2, 0))
     if n_total == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -320,18 +322,19 @@ def heavy_hitters_over(
         mask = pc.and_(pc.equal(b["kind"], 0), pc.greater_equal(b["c_sum"], lb))
         return b.filter(mask).select(["term"])
 
-    cand_t = pa.concat_tables(
-        [
-            t
-            for t in (
-                ray.get(r)
-                for r in sketch.map_batches(
-                    cand_filter, batch_format="pyarrow", zero_copy_batch=True
-                ).to_arrow_refs()
-            )
-            if t.num_columns
-        ]
-    )
+    cand_tables = [
+        t
+        for t in (
+            ray.get(r)
+            for r in sketch.map_batches(
+                cand_filter, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_columns
+    ]
+    if not cand_tables:
+        cand_tables = [pa.table({"term": pa.array([], type=pa.string())})]
+    cand_t = pa.concat_tables(cand_tables)
     candidates = cand_t["term"].combine_chunks()  # <= ~2/phi terms, k-bounded
     if len(candidates) == 0:
         return ray.data.from_arrow(
