@@ -417,3 +417,53 @@ class TestJsonlSink:
 
         man = load_manifest(out)
         assert man is not None and man.kind == "jsonl" and man.file_count >= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExportResume:
+    """Same-epoch re-runs of the export sinks echo committed buckets from
+    the manifest without touching shard files (the materialize_quads
+    per-partition resume protocol); a different epoch rewrites."""
+
+    def test_jsonl_same_epoch_resume_skips_io(self, tmp_path):
+        import os
+
+        from virtuoso_quad_log_ray.sources.pages import read_pages, write_jsonl_corpus
+
+        root = str(tmp_path / "resume_jsonl")
+        pages = read_pages(SF_SMALL, include_html=False)
+        man1 = write_jsonl_corpus(pages, root, epoch="E1", n_buckets=4)
+        mtimes = {
+            e.name: os.stat(os.path.join(root, e.name)).st_mtime_ns
+            for e in man1.files
+        }
+        man2 = write_jsonl_corpus(pages, root, epoch="E1", n_buckets=4)
+        assert [ (e.name, e.amount, e.md5, e.length) for e in man2.files ] == [
+            (e.name, e.amount, e.md5, e.length) for e in man1.files
+        ]
+        for e in man2.files:  # no shard was rewritten
+            assert os.stat(os.path.join(root, e.name)).st_mtime_ns == mtimes[e.name]
+
+        man3 = write_jsonl_corpus(pages, root, epoch="E2", n_buckets=4)
+        assert any(
+            os.stat(os.path.join(root, e.name)).st_mtime_ns != mtimes[e.name]
+            for e in man3.files
+        )  # a new epoch re-renders
+
+    def test_warc_same_epoch_resume_skips_io(self, tmp_path):
+        import os
+
+        from virtuoso_quad_log_ray.sources.pages import read_pages
+        from virtuoso_quad_log_ray.sources.warc import write_warc_corpus
+
+        root = str(tmp_path / "resume_warc")
+        pages = read_pages(SF_SMALL, include_html=True)
+        man1 = write_warc_corpus(pages, root, epoch="E1", n_buckets=3)
+        mtimes = {
+            e.name: os.stat(os.path.join(root, e.name)).st_mtime_ns
+            for e in man1.files
+        }
+        man2 = write_warc_corpus(pages, root, epoch="E1", n_buckets=3)
+        assert [e.md5 for e in man2.files] == [e.md5 for e in man1.files]
+        for e in man2.files:
+            assert os.stat(os.path.join(root, e.name)).st_mtime_ns == mtimes[e.name]

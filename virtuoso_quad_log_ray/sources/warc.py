@@ -102,15 +102,26 @@ def write_warc_corpus(
 
     import pyarrow.compute as pc
 
+    from virtuoso_quad_log_ray.numerics import hash_fingerprint
     from virtuoso_quad_log_ray.pipelines.materialize import _bucket_of, default_n_buckets
     from virtuoso_quad_log_ray.state.manifest import (
         FileEntry,
         RunManifest,
         commit_manifest,
+        load_manifest,
     )
 
     nb = n_buckets or default_n_buckets()
     os.makedirs(out_root, exist_ok=True)
+    # same-epoch per-bucket resume (the materialize_quads protocol; see
+    # pages.write_jsonl_corpus for the identical JSONL-side contract)
+    hash_fp = hash_fingerprint()
+    prev = load_manifest(out_root)
+    done: dict = (
+        {e.name: e for e in prev.files}
+        if prev and prev.epoch == epoch and prev.hash_fp == hash_fp
+        else {}
+    )
 
     def keyed(b: pa.Table) -> pa.Table:
         return b.select(["url", "warc_ts", "html"]).append_column(
@@ -120,6 +131,16 @@ def write_warc_corpus(
     def write_bucket(group: pa.Table) -> pa.Table:
         bucket = int(group["bucket"][0].as_py())
         rel = f"shard-{bucket:05d}.warc"
+        if rel in done and os.path.exists(os.path.join(out_root, rel)):
+            e = done[rel]  # committed by a prior run of this epoch: no IO
+            return pa.table(
+                {
+                    "name": pa.array([e.name], type=pa.string()),
+                    "amount": pa.array([e.amount], type=pa.int64()),
+                    "md5": pa.array([e.md5], type=pa.string()),
+                    "length": pa.array([e.length], type=pa.int64()),
+                }
+            )
         order = pc.sort_indices(
             group, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")]
         )
@@ -159,6 +180,7 @@ def write_warc_corpus(
         quad_count=sum(e.amount for e in files),
         file_count=len(files),
         files=files,
+        hash_fp=hash_fp,
     )
     commit_manifest(out_root, manifest)
     return manifest
