@@ -87,6 +87,7 @@ def headline_quads(sf_dir: str, replicate: int, *, write: bool = True) -> int:
 
 
 def run_suite() -> dict:
+    weather_pre = host_health()  # host can change mid-suite: bracket it
     from virtuoso_quad_log_ray.pipelines import changelog as cl
     from virtuoso_quad_log_ray.pipelines import kg
     from virtuoso_quad_log_ray.pipelines import relational as rel
@@ -165,9 +166,9 @@ def run_suite() -> dict:
         "quads": quads,
         "quads_per_sec": round(quads / headline_sec, 1),
         "replicate": REPLICATE,
-        # host weather at measurement time: suite numbers are comparable
-        # across rounds only at similar fault_gbps (see host_health)
-        "platform": host_health(),
+        # host weather bracketing the measurement: suite numbers are
+        # comparable across rounds only at similar fault_gbps (host_health)
+        "platform": {"pre": weather_pre, "post": host_health()},
     }
 
 
