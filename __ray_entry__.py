@@ -109,6 +109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_state_replay": lambda sf: cl.replay_state(sf),
         # incremental crawl vs prior fingerprint index (anti-join admit)
         "dedup_incremental": lambda sf: dd.dedup_incremental(sf),
+        # broadcast Bloom-membership scale path: no false negatives, a
+        # bounded FPR of new pages wrongly dropped -> rows-only (pytest
+        # pins admitted-subset + FPR vs the exact anti-join)
+        "dedup_incremental_bloom": lambda sf: dd.dedup_incremental_bloom(sf),
         # end-to-end curation flagship: gate -> exact-dedup keep-first -> shard
         "text_corpus_curate": lambda sf: tx.corpus_curate(sf),
         # approximate by construction -> rows-only (error bound + exact-merge

@@ -281,3 +281,27 @@ class TestUrlCanon:
         assert multi == n_mirror + n_v2 - len(
             [i for i in range(1, 501) if i % 25 == 0 and i % 31 == 1]
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalBloom:
+    def test_no_false_negatives_and_bounded_drop(self):
+        """Every page the Bloom path admits is genuinely new (no false
+        negatives on membership => admitted ⊆ exact-admitted), and the
+        fraction of new pages wrongly dropped stays under the design FPR
+        bound with slack."""
+        exact = to_arrow(dd.dedup_incremental(SF_SMALL))
+        bloom = to_arrow(dd.dedup_incremental_bloom(SF_SMALL))
+        e = set(zip(exact["url"].to_pylist(), exact["content_md5"].to_pylist()))
+        b = set(zip(bloom["url"].to_pylist(), bloom["content_md5"].to_pylist()))
+        assert b <= e
+        assert len(e) > 0
+        dropped = len(e) - len(b)
+        # BLOOM_BITS=2^23, k=2, ~500 prior keys -> FPR ~ (2*500/2^23)^2, tiny;
+        # allow generous slack for the small sample
+        assert dropped / len(e) <= 0.02, (dropped, len(e))
+
+    def test_filter_is_deterministic(self):
+        a = to_arrow(dd.dedup_incremental_bloom(SF_SMALL))
+        b = to_arrow(dd.dedup_incremental_bloom(SF_SMALL))
+        assert sorted(a["url"].to_pylist()) == sorted(b["url"].to_pylist())

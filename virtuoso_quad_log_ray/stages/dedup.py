@@ -971,3 +971,108 @@ def dedup_incremental_sql() -> str:
         "SELECT url, md5(text) AS content_md5 FROM pages_v2\n"
         "WHERE md5(text) NOT IN (SELECT md5(text) FROM pages_v1)"
     )
+
+
+BLOOM_BITS = 1 << 23  # 1 MiB filter; ~0.2% FPR at ~1M distinct docs (k=2)
+BLOOM_K = 2
+
+
+def _bloom_positions(fps: "np.ndarray") -> "np.ndarray":
+    """(n, BLOOM_K) bit positions from 128-bit md5 digests (two independent
+    64-bit halves — Kirsch-Mitzenmacher double hashing h1 + i*h2)."""
+    h1 = fps[:, 0] % np.uint64(BLOOM_BITS)
+    h2 = fps[:, 1] % np.uint64(BLOOM_BITS - 1) + np.uint64(1)
+    i = np.arange(BLOOM_K, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(BLOOM_BITS)
+
+
+def dedup_incremental_bloom(
+    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Bloom-filter variant of ``dedup_incremental`` — the broadcast-
+    membership scale path. The prior crawl's content fingerprints are
+    folded into ONE fixed-size bitmap (per-block partial bitmaps, a numpy
+    scatter each, OR-merged on the driver — only BLOOM_BITS/8 bytes per
+    block cross the wire, never a fingerprint set), the merged filter is
+    ``ray.put`` once, and the current crawl streams through a stateless
+    membership test. Admits only definitely-new pages: NO false negatives
+    by construction (every truly-seen fingerprint hits all its bits), a
+    bounded false-positive rate wrongly drops ~FPR of genuinely new pages
+    — the standard trade on a 100 TB recrawl where the exact anti-join's
+    hash exchange is worth avoiding. Rows-only on the driver (approximate
+    by construction); pytest pins admitted ⊆ exact-admitted and the FPR
+    bound vs ``dedup_incremental``.
+    """
+    import hashlib
+
+    from virtuoso_quad_log_ray.pipelines.changelog import _pages_version
+    from virtuoso_quad_log_ray.sources.pages import corpus_num_rows
+
+    if corpus_num_rows(sf_dir) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "content_md5": pa.array([], type=pa.string()),
+                }
+            )
+        )
+
+    def digests(batch: pa.Table) -> "np.ndarray":
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        d = text.dictionary_encode()
+        uniq = np.array(
+            [
+                np.frombuffer(hashlib.md5(t.encode()).digest(), dtype=np.uint64)
+                for t in d.dictionary.to_pylist()
+            ],
+            dtype=np.uint64,
+        ).reshape(-1, 2)
+        return uniq, d
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        uniq, _ = digests(batch)
+        bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+        pos = _bloom_positions(uniq).ravel()
+        np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    partial_blobs = [
+        t["bits"]
+        for t in (
+            ray.get(r)
+            for r in _pages_version(sf_dir, 1)
+            .map_batches(bloom_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        if t.num_columns and t.num_rows
+    ]
+    merged = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for col in partial_blobs:
+        for blob in col.to_pylist():
+            merged |= np.frombuffer(blob, dtype=np.uint8)
+    filt_ref = ray.put(merged)
+
+    def admit(batch: pa.Table) -> pa.Table:
+        filt = ray.get(filt_ref)
+        uniq, d = digests(batch)
+        pos = _bloom_positions(uniq)
+        hit = np.ones(len(uniq), dtype=bool)
+        for j in range(BLOOM_K):
+            p = pos[:, j]
+            hit &= (filt[(p // 8).astype(np.int64)] & (1 << (p % 8)).astype(np.uint8)) != 0
+        # expand per-unique verdicts to rows via the dictionary indices
+        row_hit = hit[d.indices.to_numpy(zero_copy_only=False)]
+        keep = pa.array(~row_hit)
+        uniq_hex = pa.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in d.dictionary.to_pylist()],
+            type=pa.string(),
+        )
+        md5s = pc.take(uniq_hex, d.indices)
+        return pa.table({"url": batch["url"], "content_md5": md5s}).filter(keep)
+
+    return _pages_version(sf_dir, 2).map_batches(
+        admit, batch_format="pyarrow", zero_copy_batch=True
+    )
