@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic seeded shuffle into training shards (stable across
         # runs and cluster sizes, unlike random_shuffle)
         "text_shuffle_shards": lambda sf: tx.shuffle_shards(sf),
+        # exact-k per-group deterministic sample (content-addressed)
+        "text_sample_group_k": lambda sf: tx.sample_group_k(sf),
         "text_contamination": lambda sf: tx.contamination(sf),
         "text_pack_plan": lambda sf: tx.pack_plan(sf),
         "text_repetition": lambda sf: tx.text_repetition(sf),
@@ -177,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_range_window": rel.RANGE_WINDOW_COUNTS_SQL,
         "text_sample_stratified": tx.sample_stratified_sql(),
         "text_shuffle_shards": tx.shuffle_shards_sql(),
+        "text_sample_group_k": tx.sample_group_k_sql(),
         "text_contamination": tx.contamination_sql(),
         "text_pack_plan": tx.pack_plan_sql(),
         "text_repetition": tx.TEXT_REPETITION_SQL,

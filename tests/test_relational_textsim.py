@@ -757,3 +757,29 @@ class TestCurateToJsonl:
         texts = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
         for u, t in zip(back["url"].to_pylist()[:25], back["text"].to_pylist()[:25]):
             assert texts[u] == t
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampleGroupK:
+    def test_matches_oracle(self, oracle):
+        assert_matches_oracle(
+            tx.sample_group_k(SF_SMALL), oracle, tx.sample_group_k_sql(), ["lang", "rn"]
+        )
+
+    def test_exact_k_per_group_and_stability(self):
+        import collections
+
+        t = to_arrow(tx.sample_group_k(SF_SMALL, k=7))
+        by_lang = collections.Counter(t["lang"].to_pylist())
+        # every language with >= 7 pages contributes exactly 7
+        from virtuoso_quad_log_ray.sources.pages import read_pages
+
+        pages = to_arrow(read_pages(SF_SMALL, include_html=False))
+        totals = collections.Counter(pages["lang"].to_pylist())
+        for lang, n in totals.items():
+            assert by_lang[lang] == min(7, n), lang
+        # deterministic across runs
+        t2 = to_arrow(tx.sample_group_k(SF_SMALL, k=7))
+        assert sorted(zip(t["lang"].to_pylist(), t["url"].to_pylist())) == sorted(
+            zip(t2["lang"].to_pylist(), t2["url"].to_pylist())
+        )

@@ -1493,3 +1493,79 @@ def curate_to_jsonl(
     pages = read_pages(sf_dir, include_html=False)
     kept = pages.join(curated, join_type="inner", on=("url",), **join_kwargs(cfg))
     return write_jsonl_corpus(kept, out_root, epoch=epoch)
+
+
+SAMPLE_GROUP_K = 25
+
+
+def sample_group_k(
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    k: int = SAMPLE_GROUP_K,
+) -> ray.data.Dataset:
+    """Deterministic fixed-k sample per language: the k pages with the
+    smallest md5(url) in each lang, with their 1-based sample rank — the
+    "give me k examples per group" eval-set builder (content-addressed, so
+    stable across runs, resumes and cluster sizes; rate-based
+    ``sample_stratified`` cannot promise an exact k).
+
+    Distributed shape: grouped top-k with a map-side combiner — each block
+    keeps at most k rows per lang (one vectorized sort + run-length cut,
+    no Python loop), so the exchange carries <= k * |langs| rows per block;
+    one tiny per-lang map_groups merge re-sorts and ranks. md5 is per-row
+    Python by oracle-pinned necessity (the shard_plan residual).
+    """
+    pages = read_pages(sf_dir, include_html=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        urls = b["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        hk = pa.array(
+            [hashlib.md5(u.encode()).hexdigest() for u in urls.to_pylist()],
+            type=pa.string(),
+        )
+        t = pa.table({"lang": b["lang"], "url": urls, "hk": hk}).sort_by(
+            [("lang", "ascending"), ("hk", "ascending")]
+        )
+        codes = t["lang"].combine_chunks().dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        )
+        n = len(codes)
+        if n == 0:
+            return t
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(change)
+        group_id = np.cumsum(change) - 1
+        local = np.arange(n, dtype=np.int64) - starts[group_id]
+        return t.filter(pa.array(local < k))
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("hk", "ascending")]).slice(0, k)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "url": t["url"],
+                "rn": pa.array(np.arange(1, len(t) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def sample_group_k_sql(k: int = SAMPLE_GROUP_K) -> str:
+    return (
+        "WITH " + PAGES_SQL_CTE + "\n"
+        "SELECT lang, url, rn FROM (\n"
+        "  SELECT lang, url,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(url), url) AS rn\n"
+        "  FROM pages)\n"
+        f"WHERE rn <= {k}"
+    )
