@@ -632,9 +632,10 @@ class TestCorpusCurate:
         """curate == gate -> keep-first dedup -> shard, stage by stage."""
         curated = to_arrow(tx.corpus_curate(SF_SMALL))
         gated = to_arrow(tx.corpus_filter(SF_SMALL))
-        shard_of = dict(
-            zip(*[to_arrow(tx.shard_plan(SF_SMALL))[c].to_pylist() for c in ("url", "shard")])
-        )
+        # ONE execution for both columns: block order differs between
+        # executions, so per-column re-execution would misalign the zip
+        sp = to_arrow(tx.shard_plan(SF_SMALL))
+        shard_of = dict(zip(sp["url"].to_pylist(), sp["shard"].to_pylist()))
         # every curated url passed the gate, and shards match the shard plan
         gate_urls = set(gated["url"].to_pylist())
         for u, s in zip(curated["url"].to_pylist(), curated["shard"].to_pylist()):
