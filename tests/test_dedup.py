@@ -305,3 +305,26 @@ class TestIncrementalBloom:
         a = to_arrow(dd.dedup_incremental_bloom(SF_SMALL))
         b = to_arrow(dd.dedup_incremental_bloom(SF_SMALL))
         assert sorted(a["url"].to_pylist()) == sorted(b["url"].to_pylist())
+
+    def test_bloom_params_sizing(self):
+        """ADVICE r4: capacity planning must come from bloom_params, not the
+        sandbox defaults. Check the standard FPR formula holds at the sizes
+        it returns: p = (1 - exp(-k*n/m))^k <= target."""
+        import math
+
+        for n, p_target in [(1_000_000, 0.002), (10_000_000, 0.01), (500, 0.001)]:
+            m, k = dd.bloom_params(n, p_target)
+            p = (1.0 - math.exp(-k * n / m)) ** k
+            assert p <= p_target, (n, p_target, m, k, p)
+            assert m % 8 == 0  # byte-aligned bitmap
+        # the documented hazard: the sandbox default at 1M keys is ~4.5% FPR
+        p_default = (1.0 - math.exp(-dd.BLOOM_K * 1e6 / dd.BLOOM_BITS)) ** dd.BLOOM_K
+        assert p_default > 0.04
+
+    def test_custom_sizing_still_admits_subset(self):
+        m, k = dd.bloom_params(10_000, 0.001)
+        exact = to_arrow(dd.dedup_incremental(SF_SMALL))
+        bloom = to_arrow(dd.dedup_incremental_bloom(SF_SMALL, bits=m, k=k))
+        e = set(zip(exact["url"].to_pylist(), exact["content_md5"].to_pylist()))
+        b = set(zip(bloom["url"].to_pylist(), bloom["content_md5"].to_pylist()))
+        assert b <= e and len(b) >= len(e) * 0.99

@@ -397,7 +397,7 @@ class TestJsonlSink:
             }
         )
         root = str(tmp_path / "nasty_out")
-        write_jsonl_corpus(ray.data.from_arrow(t), root, n_buckets=2)
+        write_jsonl_corpus(ray.data.from_arrow(t), root, epoch="E1", n_buckets=2)
         back = to_arrow(read_jsonl_corpus(root)).sort_by("url")
         assert back["text"].to_pylist() == nasty
         assert back["warc_ts"].to_pylist() == t["warc_ts"].to_pylist()
@@ -449,6 +449,35 @@ class TestExportResume:
             os.stat(os.path.join(root, e.name)).st_mtime_ns != mtimes[e.name]
             for e in man3.files
         )  # a new epoch re-renders
+
+    def test_jsonl_bucket_count_change_rerenders(self, tmp_path):
+        """ADVICE r4: same epoch with a DIFFERENT n_buckets must not echo
+        stale shards — default_n_buckets() is CPU-adaptive, so resuming on a
+        different-sized host re-keys rows while shard-NNNNN names collide.
+        The resume guard requires prev.n_buckets == nb; a mismatch rewrites
+        everything and the union of shard rows stays equal to the corpus."""
+        import json
+        import os
+
+        from virtuoso_quad_log_ray.sources.pages import read_pages, write_jsonl_corpus
+
+        root = str(tmp_path / "resume_jsonl_nb")
+        pages = read_pages(SF_SMALL, include_html=False)
+        man1 = write_jsonl_corpus(pages, root, epoch="E1", n_buckets=4)
+        assert man1.n_buckets == 4
+        # Resume the same epoch keyed to 2 buckets: shard-00000/00001 names
+        # collide with the 4-bucket layout but hold different row sets.
+        man2 = write_jsonl_corpus(pages, root, epoch="E1", n_buckets=2)
+        assert man2.n_buckets == 2
+        assert {e.name for e in man2.files} == {
+            "shard-00000.jsonl",
+            "shard-00001.jsonl",
+        }
+        urls = set()
+        for e in man2.files:
+            with open(os.path.join(root, e.name)) as f:
+                urls.update(json.loads(line)["url"] for line in f)
+        assert len(urls) == pages.count()  # no row lost to a stale echo
 
     def test_warc_same_epoch_resume_skips_io(self, tmp_path):
         import os

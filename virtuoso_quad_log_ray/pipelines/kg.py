@@ -501,8 +501,15 @@ def entity_cooccur(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.
             }
         )
 
+    # batch_size=None: whole blocks (the repo convention — pages.py,
+    # extract_text.py). pair_partial is only correct if ALL of a page's
+    # link rows arrive in ONE batch; entity_links emits each page's links
+    # inside one block, and batch_size=None makes that the batch boundary
+    # too. An explicit batch_size (or a future Ray default change) could
+    # split a page across batches and silently drop cross-split pairs
+    # (ADVICE r4).
     partials = links.map_batches(
-        pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     agg = bucket_aggregate(
         partials, ["canon_a", "canon_b"], [("n_pages", "sum")], hash_col="h1"

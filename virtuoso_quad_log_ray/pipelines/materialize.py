@@ -92,11 +92,17 @@ def materialize_quads(
     # environment's hash fingerprint changed since the committed manifest,
     # bucket contents may have moved — rewrite everything instead of
     # skipping buckets (ADVICE r2: silent missing/duplicated quads).
+    # n_buckets guard (ADVICE r4): default_n_buckets() is CPU-adaptive, so
+    # resuming the same epoch on a different-sized host would re-key rows
+    # to different buckets while bucket=K names collide with stale output.
     hash_fp = hash_fingerprint()
     prev = load_manifest(out_root)
     done: set[str] = (
         {e.name for e in prev.files}
-        if prev and prev.epoch == epoch and prev.hash_fp == hash_fp
+        if prev
+        and prev.epoch == epoch
+        and prev.hash_fp == hash_fp
+        and prev.n_buckets == n_buckets
         else set()
     )
 
@@ -153,6 +159,7 @@ def materialize_quads(
         elapsed_s=round(elapsed, 3),
         quads_per_sec=round(quad_count / elapsed, 1) if elapsed > 0 else 0.0,
         hash_fp=hash_fp,
+        n_buckets=n_buckets,
     )
     commit_manifest(out_root, manifest)
     return manifest

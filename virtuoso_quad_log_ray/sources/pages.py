@@ -264,7 +264,7 @@ def write_jsonl_corpus(
     pages: ray.data.Dataset,
     out_root: str,
     *,
-    epoch: str = "",
+    epoch: str,
     n_buckets: int | None = None,
 ) -> "RunManifest":
     """Distributed JSONL export — the C4/Pile-style delivery format a
@@ -303,11 +303,17 @@ def write_jsonl_corpus(
     # bucket already committed by a prior run of this epoch is echoed from
     # its manifest entry instead of re-rendered — valid only while the
     # bucket-id hash implementation is unchanged (hash_fp guard, ADVICE r2)
+    # AND the bucket count matches: default_n_buckets() is CPU-adaptive, so
+    # the same epoch on a different host re-keys rows to different buckets
+    # under colliding shard names (ADVICE r4)
     hash_fp = hash_fingerprint()
     prev = load_manifest(out_root)
     done: dict = (
         {e.name: e for e in prev.files}
-        if prev and prev.epoch == epoch and prev.hash_fp == hash_fp
+        if prev
+        and prev.epoch == epoch
+        and prev.hash_fp == hash_fp
+        and prev.n_buckets == nb
         else {}
     )
 
@@ -384,6 +390,7 @@ def write_jsonl_corpus(
         file_count=len(files),
         files=files,
         hash_fp=hash_fp,
+        n_buckets=nb,
     )
     commit_manifest(out_root, manifest)
     return manifest

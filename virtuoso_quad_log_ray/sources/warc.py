@@ -88,7 +88,7 @@ def write_warc_corpus(
     pages: ray.data.Dataset,
     out_root: str,
     *,
-    epoch: str = "",
+    epoch: str,
     n_buckets: int | None = None,
 ) -> "RunManifest":
     """Distributed WARC export (VERDICT r2 #7): one bucketed
@@ -114,12 +114,16 @@ def write_warc_corpus(
     nb = n_buckets or default_n_buckets()
     os.makedirs(out_root, exist_ok=True)
     # same-epoch per-bucket resume (the materialize_quads protocol; see
-    # pages.write_jsonl_corpus for the identical JSONL-side contract)
+    # pages.write_jsonl_corpus for the identical JSONL-side contract,
+    # including the n_buckets guard — ADVICE r4)
     hash_fp = hash_fingerprint()
     prev = load_manifest(out_root)
     done: dict = (
         {e.name: e for e in prev.files}
-        if prev and prev.epoch == epoch and prev.hash_fp == hash_fp
+        if prev
+        and prev.epoch == epoch
+        and prev.hash_fp == hash_fp
+        and prev.n_buckets == nb
         else {}
     )
 
@@ -181,6 +185,7 @@ def write_warc_corpus(
         file_count=len(files),
         files=files,
         hash_fp=hash_fp,
+        n_buckets=nb,
     )
     commit_manifest(out_root, manifest)
     return manifest

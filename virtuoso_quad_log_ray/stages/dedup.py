@@ -973,21 +973,45 @@ def dedup_incremental_sql() -> str:
     )
 
 
-BLOOM_BITS = 1 << 23  # 1 MiB filter; ~0.2% FPR at ~1M distinct docs (k=2)
+# Defaults for the sandbox fixtures (hundreds of keys -> FPR ~1e-5). At
+# real scale SIZE THE FILTER with bloom_params(): with m=2^23 bits and k=2
+# the FPR at n=1M keys is (1-exp(-2n/m))^2 ~= 4.5%, NOT sub-1% — i.e.
+# ~4.5% of genuinely new pages wrongly dropped (ADVICE r4). 0.2% at 1M
+# keys needs m~=2^24.4 bits with k~=8 (bloom_params(1_000_000, 0.002)).
+BLOOM_BITS = 1 << 23
 BLOOM_K = 2
 
 
-def _bloom_positions(fps: "np.ndarray") -> "np.ndarray":
-    """(n, BLOOM_K) bit positions from 128-bit md5 digests (two independent
+def bloom_params(expected_keys: int, target_fpr: float) -> tuple[int, int]:
+    """Optimal (bits, k) for a Bloom filter at ``expected_keys`` distinct
+    fingerprints and ``target_fpr``: m = -n*ln(p)/ln(2)^2 rounded up to a
+    power of two (byte-aligned bitmap, cheap modulo), k = round(m/n*ln 2).
+    Feed the result to ``dedup_incremental_bloom(bits=..., k=...)``."""
+    import math
+
+    if expected_keys <= 0:
+        return BLOOM_BITS, BLOOM_K
+    m = -expected_keys * math.log(target_fpr) / (math.log(2) ** 2)
+    bits = 1 << max(13, math.ceil(math.log2(m)))
+    k = max(1, round(bits / expected_keys * math.log(2)))
+    return bits, k
+
+
+def _bloom_positions(fps: "np.ndarray", bits: int, k: int) -> "np.ndarray":
+    """(n, k) bit positions from 128-bit md5 digests (two independent
     64-bit halves — Kirsch-Mitzenmacher double hashing h1 + i*h2)."""
-    h1 = fps[:, 0] % np.uint64(BLOOM_BITS)
-    h2 = fps[:, 1] % np.uint64(BLOOM_BITS - 1) + np.uint64(1)
-    i = np.arange(BLOOM_K, dtype=np.uint64)
-    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(BLOOM_BITS)
+    h1 = fps[:, 0] % np.uint64(bits)
+    h2 = fps[:, 1] % np.uint64(bits - 1) + np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(bits)
 
 
 def dedup_incremental_bloom(
-    sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
 ) -> ray.data.Dataset:
     """Bloom-filter variant of ``dedup_incremental`` — the broadcast-
     membership scale path. The prior crawl's content fingerprints are
@@ -1034,10 +1058,12 @@ def dedup_incremental_bloom(
 
     def bloom_partial(batch: pa.Table) -> pa.Table:
         uniq, _ = digests(batch)
-        bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
-        pos = _bloom_positions(uniq).ravel()
-        np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
-        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+        bitmap = np.zeros(bits // 8, dtype=np.uint8)
+        pos = _bloom_positions(uniq, bits, k).ravel()
+        np.bitwise_or.at(
+            bitmap, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8)
+        )
+        return pa.table({"bits": pa.array([bitmap.tobytes()], type=pa.binary())})
 
     partial_blobs = [
         t["bits"]
@@ -1049,7 +1075,7 @@ def dedup_incremental_bloom(
         )
         if t.num_columns and t.num_rows
     ]
-    merged = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    merged = np.zeros(bits // 8, dtype=np.uint8)
     for col in partial_blobs:
         for blob in col.to_pylist():
             merged |= np.frombuffer(blob, dtype=np.uint8)
@@ -1058,9 +1084,9 @@ def dedup_incremental_bloom(
     def admit(batch: pa.Table) -> pa.Table:
         filt = ray.get(filt_ref)
         uniq, d = digests(batch)
-        pos = _bloom_positions(uniq)
+        pos = _bloom_positions(uniq, bits, k)
         hit = np.ones(len(uniq), dtype=bool)
-        for j in range(BLOOM_K):
+        for j in range(k):
             p = pos[:, j]
             hit &= (filt[(p // 8).astype(np.int64)] & (1 << (p % 8)).astype(np.uint8)) != 0
         # expand per-unique verdicts to rows via the dictionary indices

@@ -238,7 +238,11 @@ def heavy_hitters_over(
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         if text.null_count:
-            text = pc.fill_null(text, "")
+            # DROP null rows (SQL NULL semantics — the oracle's
+            # unnest(string_split(NULL, ' ')) contributes zero rows);
+            # fill_null("") would add one ""-token per null row, shifting
+            # n_total/min_count and surfacing "" as a term (ADVICE r4).
+            text = text.drop_null()
         return pc.list_flatten(pc.split_pattern(text, " "))
 
     def mg_partial(b: pa.Table) -> pa.Table:

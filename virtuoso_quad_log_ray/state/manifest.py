@@ -56,6 +56,12 @@ class RunManifest:
     # ids (materialize layout); same-epoch resume is only valid when it
     # matches the current environment's fingerprint (ADVICE r2).
     hash_fp: str = ""
+    # bucket count the committed shards were keyed with; same-epoch resume
+    # is only valid when it matches the resuming run's bucket count —
+    # default_n_buckets() is CPU-adaptive, so the same epoch on a
+    # different-sized host re-keys rows to different buckets while shard
+    # names collide (ADVICE r4). 0 = pre-field manifest, never resumable.
+    n_buckets: int = 0
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=1, sort_keys=True)
