@@ -54,5 +54,14 @@ class EngineConfig:
     # Default document-frequency cap used when a caller opts in.
     default_max_shingle_freq: int = 1000
 
+    # MinHash-LSH band-bucket member cap (VERDICT r4 #1). A cluster of F
+    # near-identical pages (mirror farms, boilerplate) collides in EVERY
+    # band; uncapped, each band bucket emits O(F^2) candidate pairs. Runs
+    # larger than this emit STAR edges only (every member paired with the
+    # run's min url — linear, and sufficient for the connected-components
+    # consumer); runs at or under it emit all (i < j) pairs, so pair-level
+    # output is unchanged wherever buckets are sane.
+    lsh_band_bucket_cap: int = 256
+
 
 DEFAULT_CONFIG = EngineConfig()

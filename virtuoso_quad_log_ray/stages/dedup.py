@@ -476,6 +476,10 @@ def _dedup_candidate_pairs(joined: ray.data.Dataset) -> ray.data.Dataset:
     )
 
     def to_pairs(batch: pa.Table) -> pa.Table:
+        # sort-shuffle stages (groupby().map_groups upstream) can emit
+        # schema-less empty blocks; guard before touching columns
+        if len(batch) == 0 or "url_l" not in batch.schema.names:
+            return empty
         b = batch.filter(pc.less(batch["url_l"], batch["url_r"]))
         if len(b) == 0:
             return empty
@@ -515,23 +519,39 @@ def minhash_lsh_pairs(
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     threshold: float | None = None,
+    bucket_cap: int | None = None,
 ) -> ray.data.Dataset:
     """MinHash-LSH near-dup candidate pairs, verified by signature agreement.
 
     pages -> signatures (actor pool, materialized ONCE as the compact
     (url, sig) side table) -> per-band numeric bucket keys (band idx +
-    64-bit band hash; the band join ships 12 bytes/row, NOT the signature)
-    -> inverted-index self-join -> distinct pairs -> verify by joining the
-    pairs back to the signature table on url (twice) and comparing perms
-    vectorized; est J = matching perms / num_perm >= threshold.
+    64-bit band hash; 12 bytes/row of key material, NOT the signature)
+    -> ONE bucketed ``groupby(hash(band, bh) % nb).map_groups`` exchange:
+    each task sorts its partition by (band, bh, url), detects bucket runs
+    vectorized, and emits candidate pairs per run — all (i < j) pairs for
+    runs at or under ``lsh_band_bucket_cap``, STAR edges (run-min url
+    paired with every other member, linear in run size) above it
+    (VERDICT r4 #1: a mirror farm of F near-identical pages collides in
+    every band and would otherwise emit O(F^2) rows; star edges preserve
+    connectivity for the ``connected_components`` consumer while pair-level
+    output is unchanged wherever buckets are sane). Seeing the WHOLE bucket
+    inside one task is what makes the cap exact — no frequency pre-pass, no
+    broadcast hot set, and one less all-to-all than the previous band
+    self-join. -> distinct pairs -> verify by joining the pairs back to the
+    signature table on url (twice) and comparing perms vectorized;
+    est J = matching perms / num_perm >= threshold.
 
     Docs with zero valid shingles emit NO band rows (they'd otherwise all
     share the all-zero signature and explode quadratically — ADVICE r1),
     matching the exact n-gram path which yields no pairs for them.
     """
+    from virtuoso_quad_log_ray.pipelines.materialize import default_n_buckets
+
     tau = threshold if threshold is not None else cfg.jaccard_threshold
     num_perm, bands = cfg.minhash_num_perm, cfg.minhash_bands
     rows_per_band = num_perm // bands
+    cap = bucket_cap if bucket_cap is not None else cfg.lsh_band_bucket_cap
+    nb = default_n_buckets()
 
     sigs = read_pages(sf_dir, include_html=False).map_batches(
         MinHashSignatures,
@@ -547,6 +567,7 @@ def minhash_lsh_pairs(
             "url": pa.array([], type=pa.string()),
             "band": pa.array([], type=pa.int32()),
             "bh": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.int64()),
         }
     )
     _FNV = np.uint64(1099511628211)
@@ -563,18 +584,80 @@ def minhash_lsh_pairs(
         bh = np.zeros((nd, bands), dtype=np.uint64)
         for k in range(rows_per_band):
             bh = bh * _FNV + sig[:, :, k]
+        bh = bh.reshape(-1)
+        band_col = np.tile(np.arange(bands, dtype=np.uint64), nd)
+        # shuffle key: every (band, bh) bucket lands WHOLLY in one task
+        bucket = ((bh * _FNV + band_col) % np.uint64(nb)).view(np.int64)
         return pa.table(
             {
                 "url": pc.take(b["url"], pa.array(np.repeat(np.arange(nd), bands))),
-                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), nd)),
-                "bh": pa.array(bh.reshape(-1).view(np.int64)),
+                "band": pa.array(band_col.astype(np.int32)),
+                "bh": pa.array(bh.view(np.int64)),
+                "bucket": pa.array(bucket),
             }
         )
 
-    bucketed = self_join_input(
-        sig_tbl.map_batches(band_keys, batch_format="pyarrow", zero_copy_batch=True)
+    band_rows = sig_tbl.map_batches(
+        band_keys, batch_format="pyarrow", zero_copy_batch=True
     )
-    if bucketed.count() == 0:  # empty corpus: joins need a schema
+
+    _RAW_PAIR_EMPTY = pa.table(
+        {
+            "url_l": pa.array([], type=pa.string()),
+            "url_r": pa.array([], type=pa.string()),
+        }
+    )
+
+    def emit_bucket_pairs(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n < 2:
+            return _RAW_PAIR_EMPTY
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("band", "ascending"),
+                ("bh", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        t = group.take(order)
+        band_np = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh_np = t["bh"].to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (band_np[1:] != band_np[:-1]) | (bh_np[1:] != bh_np[:-1])
+        group_id = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        local = np.arange(n, dtype=np.int64) - starts[group_id]
+        size_row = sizes[group_id]
+        # rows sorted by url within a run, so every emission pairs a row
+        # with the next `reps` rows: all-pairs rows lead size-1-local
+        # emissions; above the cap only the run head (the min url) emits,
+        # pairing with every other member — the star edges.
+        reps = np.where(
+            size_row <= cap,
+            size_row - 1 - local,
+            np.where(local == 0, size_row - 1, 0),
+        )
+        total = int(reps.sum())
+        if total == 0:
+            return _RAW_PAIR_EMPTY
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        run_start = np.cumsum(reps) - reps
+        offset = np.arange(total, dtype=np.int64) - np.repeat(run_start, reps) + 1
+        b_idx = a_idx + offset
+        url = t["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        return pa.table(
+            {
+                "url_l": pc.take(url, pa.array(a_idx)),
+                "url_r": pc.take(url, pa.array(b_idx)),
+            }
+        )
+
+    if band_rows.count() == 0:  # empty corpus: groupby needs a schema
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -584,15 +667,11 @@ def minhash_lsh_pairs(
                 }
             )
         )
-    joined = bucketed.join(
-        bucketed,
-        join_type="inner",
-        on=("band", "bh"),
-        left_suffix="_l",
-        right_suffix="_r",
-        **join_kwargs(cfg),
+    raw_pairs = (
+        band_rows.groupby("bucket")
+        .map_groups(emit_bucket_pairs, batch_format="pyarrow")
     )
-    cand = _dedup_candidate_pairs(joined)
+    cand = _dedup_candidate_pairs(raw_pairs)
 
     # verify: hash-join candidates back to the compact signature table on
     # url (no signature ever rides the band self-join, no driver broadcast)
