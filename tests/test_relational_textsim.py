@@ -391,25 +391,74 @@ class TestSimilarity:
         assert all(0 <= c < 16 for c in da.values())
         assert len(set(da.values())) >= 4  # vectors spread over clusters
 
+    def test_emb_clusters_match_dense_reference(self):
+        """VERDICT r4 #3: cluster assignments pinned against an INDEPENDENT
+        dense numpy replication of the algorithm (init = first n_clusters
+        vectors in file order, 2 Lloyd rounds, final assignment) — the same
+        upgrade shape as the PageRank pin. Exact equality, not just
+        determinism."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        got = to_arrow(sim.embedding_clusters(SF_SMALL))
+        gd = dict(zip(got["vec_id"].to_pylist(), got["cluster"].to_pylist()))
+        t = pq.read_table(
+            f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        m = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+        c = m[:16].copy()
+        for _ in range(2):
+            a = np.argmin(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1)
+            for j in range(16):
+                if (a == j).any():
+                    c[j] = m[a == j].mean(axis=0)
+        ref = np.argmin(((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1)
+        assert gd == dict(zip(ids.tolist(), ref.tolist()))
+
     def test_ann_topk_ivf_recall(self):
-        """IVF with generous probes must recover most exact neighbors
-        (deterministic: seeded init, fixed data)."""
+        """VERDICT r4 #3: recall@k >= 0.9 vs the exact brute-force ann_topk
+        at the sandbox config (deterministic: seedless init, fixed data;
+        measured 0.92 at n_lists=8 / n_probe=4)."""
         exact = to_arrow(sim.ann_topk(SF_SMALL))
         approx = to_arrow(sim.ann_topk_ivf(SF_SMALL, n_lists=8, n_probe=4))
         ex = set(zip(exact["query_id"].to_pylist(), exact["neighbor_id"].to_pylist()))
         ap = set(zip(approx["query_id"].to_pylist(), approx["neighbor_id"].to_pylist()))
         recall = len(ex & ap) / len(ex)
-        assert recall >= 0.5, f"IVF recall {recall:.2f}"
+        assert recall >= 0.9, f"IVF recall {recall:.2f}"
         # determinism
         again = to_arrow(sim.ann_topk_ivf(SF_SMALL, n_lists=8, n_probe=4))
         assert sorted(zip(*[approx[c].to_pylist() for c in approx.column_names])) == \
                sorted(zip(*[again[c].to_pylist() for c in again.column_names]))
 
-    def test_emb_neardup_runs(self):
-        t = to_arrow(sim.embedding_neardup_pairs(SF_SMALL))
-        # rows-only: pairs (possibly none at high threshold); all verified >= tau
-        if len(t):
-            assert min(t["cos_ppm"].to_pylist()) >= 450_000
+    def test_emb_neardup_recall_vs_exact_pairs(self):
+        """VERDICT r4 #3: the LSH-bucketed near-dup path vs the EXACT
+        all-pairs cosine set computed in-test (500 vectors — trivially dense
+        here; the engine never does this). Precision is 1.0 by construction
+        (exact cosine verify on every candidate); recall >= 0.9 at the
+        default banding (measured 1.0 at sf0.001)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        got = to_arrow(sim.embedding_neardup_pairs(SF_SMALL))
+        g = set(zip(got["vec_a"].to_pylist(), got["vec_b"].to_pylist()))
+        t = pq.read_table(
+            f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        m = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        iu = np.triu_indices(len(ids), k=1)
+        sel = (mn @ mn.T)[iu] >= 0.45
+        lo = np.minimum(ids[iu[0][sel]], ids[iu[1][sel]])
+        hi = np.maximum(ids[iu[0][sel]], ids[iu[1][sel]])
+        exact_pairs = set(zip(lo.tolist(), hi.tolist()))
+        assert len(exact_pairs) > 0
+        assert g <= exact_pairs  # exact verify => no false positives
+        recall = len(exact_pairs & g) / len(exact_pairs)
+        assert recall >= 0.9, f"embedding LSH recall {recall:.2f}"
+        if len(got):
+            assert min(got["cos_ppm"].to_pylist()) >= 450_000
 
 
 @pytest.mark.usefixtures("ray_session")
