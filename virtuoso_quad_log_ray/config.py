@@ -63,5 +63,15 @@ class EngineConfig:
     # output is unchanged wherever buckets are sane.
     lsh_band_bucket_cap: int = 256
 
+    # Oracle parity vs production hashing (VERDICT r4 #4). True (default):
+    # content-addressed sampling/sharding/fingerprint keys use per-row
+    # hashlib.md5 so they match the DuckDB oracles byte-for-byte. False
+    # (the 100 TB path): the same keys come from the vectorized 128-bit
+    # hash (numerics.hash128 / hash128_fsb) — no per-row Python on any
+    # corpus-cardinality path. Selections differ between modes (both are
+    # deterministic, content-addressed, and uniform); flip only wholesale
+    # per deployment, never mid-corpus.
+    oracle_mode: bool = True
+
 
 DEFAULT_CONFIG = EngineConfig()

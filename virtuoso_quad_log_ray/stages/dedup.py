@@ -998,17 +998,26 @@ def dedup_incremental(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.da
 
     def fp_batch(with_url: bool):
         def fn(batch: pa.Table) -> pa.Table:
+            from virtuoso_quad_log_ray.numerics import fsb_hex, hash128_fsb
+
             text = batch["text"]
             if isinstance(text, pa.ChunkedArray):
                 text = text.combine_chunks()
             d = text.dictionary_encode()
-            uniq = [hashlib.md5(t.encode()).digest() for t in d.dictionary.to_pylist()]
-            uniq_fp = pa.array(uniq, type=pa.binary(16))
+            if not cfg.oracle_mode:
+                # production scale path (r4 #4): vectorized 128-bit engine
+                # hash as the join key and reported fingerprint hex
+                uniq_fp = hash128_fsb(d.dictionary)
+            else:
+                uniq_fp = pa.array(
+                    [hashlib.md5(t.encode()).digest() for t in d.dictionary.to_pylist()],
+                    type=pa.binary(16),
+                )
             fp = pc.take(uniq_fp, d.indices)
             if not with_url:
                 # the stored index: per-block distinct fingerprints only
                 return pa.table({"fp": fp}).group_by(["fp"]).aggregate([])
-            uniq_hex = pa.array([b.hex() for b in uniq], type=pa.string())
+            uniq_hex = fsb_hex(uniq_fp)
             return pa.table(
                 {
                     "url": batch["url"],
@@ -1126,6 +1135,10 @@ def dedup_incremental_bloom(
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         d = text.dictionary_encode()
+        if not cfg.oracle_mode:  # vectorized on the scale path (r4 #4)
+            h1, h2 = _hash128(d.dictionary)
+            uniq = np.column_stack([h1.view(np.uint64), h2.view(np.uint64)])
+            return uniq, d
         uniq = np.array(
             [
                 np.frombuffer(hashlib.md5(t.encode()).digest(), dtype=np.uint64)
@@ -1171,10 +1184,15 @@ def dedup_incremental_bloom(
         # expand per-unique verdicts to rows via the dictionary indices
         row_hit = hit[d.indices.to_numpy(zero_copy_only=False)]
         keep = pa.array(~row_hit)
-        uniq_hex = pa.array(
-            [hashlib.md5(t.encode()).hexdigest() for t in d.dictionary.to_pylist()],
-            type=pa.string(),
-        )
+        if not cfg.oracle_mode:
+            from virtuoso_quad_log_ray.numerics import fsb_hex, hash128_fsb
+
+            uniq_hex = fsb_hex(hash128_fsb(d.dictionary))
+        else:
+            uniq_hex = pa.array(
+                [hashlib.md5(t.encode()).hexdigest() for t in d.dictionary.to_pylist()],
+                type=pa.string(),
+            )
         md5s = pc.take(uniq_hex, d.indices)
         return pa.table({"url": batch["url"], "content_md5": md5s}).filter(keep)
 
