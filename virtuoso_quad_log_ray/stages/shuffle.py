@@ -156,6 +156,25 @@ def scrub_empty_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     rebuilds the dataset from the surviving block REFS: blocks never leave
     the object store, no driver transit, and the downstream join starts
     from clean typed blocks.
+
+    Every streaming alternative was evaluated and ruled out on Ray 2.49
+    (round 5):
+
+      * a retyping ``map_batches`` can NEVER fix an empty block — Ray does
+        not invoke map UDFs on zero-row blocks at all (pinned by
+        ``test_dedup.py::test_ray_skips_udfs_on_empty_blocks``; if a Ray
+        upgrade changes this, that test flags the streaming fix as newly
+        possible);
+      * seeding the aggregate with one sentinel row per bucket types every
+        BUCKET's output, but the sort-shuffle's range boundaries are
+        sampled from the row distribution, so key-skewed inputs still leave
+        rangeless partitions emitting schemaless blocks;
+      * ``repartition(keys=...)`` (true hash partitioning) requires the
+        global ``DataContext.shuffle_strategy = HASH_SHUFFLE``, and under
+        that strategy the whole suite DEADLOCKS at num_cpus=4 — 16
+        HashShuffleAggregator actors sat idle holding the cores the
+        upstream map tasks needed (observed; the same hazard class this
+        function's materialize exists to avoid).
     """
     m = ds.materialize()
     refs = []
