@@ -91,3 +91,53 @@ def test_hash_fingerprint_stable_and_impl_tagged():
     impl, _, digest = fp.partition(":")
     assert impl.startswith(("polars-", "md5-"))
     assert len(digest) == 32 and int(digest, 16) >= 0
+
+
+def test_hash128_fsb_packs_both_words():
+    import hashlib
+
+    import pyarrow as pa
+
+    from virtuoso_quad_log_ray.numerics import fsb_hex, hash128, hash128_fsb
+
+    a = pa.array(["alpha", "beta", "alpha", ""])
+    f = hash128_fsb(a)
+    assert f.type == pa.binary(16) and len(f) == 4
+    hx = fsb_hex(f).to_pylist()
+    assert hx[0] == hx[2] and hx[0] != hx[1]
+    assert all(len(h) == 32 and int(h, 16) >= 0 for h in hx)
+    # hex rendering round-trips the packed bytes exactly
+    assert [h for h in hx] == [f[i].as_py().hex() for i in range(4)]
+    # deterministic with hash128 (same two words, little-endian packed)
+    h1, h2 = hash128(a)
+    import numpy as np
+
+    packed = np.column_stack([h1.view(np.uint64), h2.view(np.uint64)]).astype("<u8")
+    assert packed.tobytes() == b"".join(f[i].as_py() for i in range(4))
+
+
+def test_fsb_hex_handles_sliced_arrays():
+    """fsb_hex reads the raw data buffer; a sliced array's offset must be
+    honored or every hex string shifts by the slice amount."""
+    import pyarrow as pa
+
+    from virtuoso_quad_log_ray.numerics import fsb_hex, hash128_fsb
+
+    f = hash128_fsb(pa.array([f"v{i}" for i in range(10)]))
+    whole = fsb_hex(f).to_pylist()
+    sliced = fsb_hex(f.slice(3, 4)).to_pylist()
+    assert sliced == whole[3:7]
+
+
+def test_md5_digests_render_identically_through_fsb_hex():
+    """The oracle path renders md5 digests via fsb_hex too — must equal
+    hashlib's own hexdigest."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from virtuoso_quad_log_ray.numerics import fsb_hex
+
+    texts = ["a", "bb", "ccc"]
+    fsb = pa.array([hashlib.md5(t.encode()).digest() for t in texts], type=pa.binary(16))
+    assert fsb_hex(fsb).to_pylist() == [hashlib.md5(t.encode()).hexdigest() for t in texts]
