@@ -550,3 +550,19 @@ class TestExtractorSeam:
         assert isinstance(ArticleRuleExtractor(), Extractor)
         assert isinstance(TagStripExtractor(), Extractor)
         assert set(EXTRACTORS) >= {"article", "tag_strip"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_config_selects_extractor_end_to_end():
+    """EngineConfig.extractor reaches the extraction stage: quads built under
+    the tag_strip extractor see the nav/footer text the article rule drops,
+    so the extracted text (and downstream token counts) differ while the
+    pipeline shape is identical."""
+    from virtuoso_quad_log_ray.config import EngineConfig
+
+    art = to_arrow(kg.extracted_text(SF_SMALL)).sort_by("url")
+    strip = to_arrow(
+        kg.extracted_text(SF_SMALL, EngineConfig(extractor="tag_strip"))
+    ).sort_by("url")
+    assert art["url"].equals(strip["url"])
+    assert any(a != s for a, s in zip(art["text"].to_pylist(), strip["text"].to_pylist()))

@@ -73,5 +73,12 @@ class EngineConfig:
     # per deployment, never mid-corpus.
     oracle_mode: bool = True
 
+    # Text-extractor registry name (stages/extract_text.py EXTRACTORS;
+    # VERDICT r4 #5). "article" is the frozen rule the byte-identical M11
+    # oracle pins; swap for a real extractor at deployment without touching
+    # any pipeline (the reference's BUILDER_CLASS extension surface,
+    # resourcesync-generator).
+    extractor: str = "article"
+
 
 DEFAULT_CONFIG = EngineConfig()

@@ -93,7 +93,9 @@ def quads_from_pages(
     the html column never survives past the first stage.
     """
     if from_html:
-        pages = extract_text(pages, batch_size=cfg.pages_batch_size)
+        pages = extract_text(
+            pages, batch_size=cfg.pages_batch_size, extractor=cfg.extractor
+        )
     quads = extract_triples(pages, batch_size=cfg.quads_batch_size)
     if cfg.excluded_graphs:
         # F1 excluded-graphs filter (dump_nquads.sql:44-49): tiny IN-list,
@@ -240,9 +242,9 @@ def chunk_plan_sql(maxq: int) -> str:
 def extracted_text(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """M11 surface: the byte-identical per-url text contract
     (BASELINE.json input_hint)."""
-    return extract_text(read_pages(sf_dir), batch_size=cfg.pages_batch_size).select_columns(
-        ["url", "text", "lang"]
-    )
+    return extract_text(
+        read_pages(sf_dir), batch_size=cfg.pages_batch_size, extractor=cfg.extractor
+    ).select_columns(["url", "text", "lang"])
 
 
 EXTRACTED_TEXT_SQL = sql_with_pages("SELECT url, text, lang FROM pages")
