@@ -35,9 +35,26 @@ def _init_ray(num_cpus: int | None) -> bool:
     return True
 
 
+def _cfg(args) -> "EngineConfig":
+    """EngineConfig from CLI flags (BUILDER_CLASS-style deployment seams:
+    --extractor selects from stages.extract_text.EXTRACTORS)."""
+    from virtuoso_quad_log_ray.config import DEFAULT_CONFIG, EngineConfig
+
+    if getattr(args, "extractor", None):
+        import dataclasses
+
+        return dataclasses.replace(DEFAULT_CONFIG, extractor=args.extractor)
+    return DEFAULT_CONFIG
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="virtuoso_quad_log_ray")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument(
+        "--extractor",
+        default=None,
+        help="text-extractor registry name (default: the frozen article rule)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("dump", help="initial full dump into a patch-file sink")
@@ -128,12 +145,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "dump":
             from virtuoso_quad_log_ray.pipelines.runs import run_dump
 
-            man = run_dump(args.sf, args.out, epoch=epoch)
+            man = run_dump(args.sf, args.out, epoch=epoch, cfg=_cfg(args))
             print(f"dump: {man.quad_count} quads in {man.file_count} files @ {man.checkpoint}")
         elif args.cmd == "sync":
             from virtuoso_quad_log_ray.pipelines.runs import run_sync
 
-            man = run_sync(args.sf, args.out, checkpoint=args.checkpoint)
+            man = run_sync(args.sf, args.out, checkpoint=args.checkpoint, cfg=_cfg(args))
             print(f"sync: {man.quad_count} records in {man.file_count} files @ {man.checkpoint}")
         elif args.cmd == "run":
             from virtuoso_quad_log_ray.pipelines.runs import run_loop
