@@ -920,3 +920,40 @@ class TestProductionHashMode:
         assert set(prod["url"].to_pylist()) == set(oracle_side["url"].to_pylist())
         bloom = to_arrow(dd.dedup_incremental_bloom(SF_SMALL, self.PROD))
         assert set(bloom["url"].to_pylist()) <= set(prod["url"].to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_null_text_matches_sql_semantics():
+    """ADVICE r4: null text rows contribute ZERO tokens (SQL's
+    unnest(string_split(NULL,' ')) emits no rows) — not one ""-token each.
+    The sf fixture has no nulls, so pin it against a live DuckDB oracle on
+    a null-bearing corpus here."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from virtuoso_quad_log_ray.stages import sketches as sk
+
+    texts = ["hot hot hot cold", "hot hot warm", None, None, "hot cool"]
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    got = {
+        r["term"]: r["n_occurrences"]
+        for r in to_arrow(
+            sk.heavy_hitters_over(ray.data.from_arrow(t), phi=0.25)
+        ).to_pylist()
+    }
+    con = duckdb.connect()
+    con.register("pages_null", t)
+    expect = dict(
+        con.sql(
+            "WITH toks AS (SELECT unnest(string_split(text,' ')) AS term FROM pages_null),"
+            " tot AS (SELECT count(*)::DOUBLE AS n FROM toks)"
+            " SELECT term, count(*)::BIGINT FROM toks GROUP BY term"
+            " HAVING count(*) >= (SELECT CAST(ceil(0.25*n) AS BIGINT) FROM tot)"
+        ).fetchall()
+    )
+    con.close()
+    # 9 tokens total, min_count=3: only "hot" (6x) survives; with the old
+    # fill_null("") there were 11 tokens, min_count 3, same winner — the
+    # distinguishing case is the total/threshold shift at the boundary
+    assert got == expect and got == {"hot": 6}
