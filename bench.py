@@ -336,12 +336,50 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats(query: str) -> None:
+    """Profiling mode: run ONE driver-surface query at suite scale and print
+    Ray Data's per-operator stats (`ds.stats()`) — wall time, CPU time, block
+    counts, and output sizes per stage. The iterate-on-ds.stats() loop that
+    sized every batch/concurrency dial in this repo, exposed as a flag:
+
+        python bench.py --stats dedup_minhash_lsh
+    """
+    _init_ray(NUM_CPUS)
+    import importlib.util
+
+    import ray
+    import ray.data
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(os.path.dirname(__file__), "__ray_entry__.py")
+    )
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+    qs = entry_mod.queries()
+    if query not in qs:
+        print(f"unknown query {query!r}; one of: {', '.join(sorted(qs))}", file=sys.stderr)
+        raise SystemExit(2)
+    t0 = time.perf_counter()
+    res = qs[query](SF_DIR)
+    if isinstance(res, ray.data.Dataset):
+        m = res.materialize()
+        n = m.count()
+        print(m.stats())
+    else:
+        n = len(res)
+    print(f"# {query}: {n} rows in {time.perf_counter() - t0:.3f}s at {SF_DIR}")
+    ray.shutdown()
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
         print(json.dumps(_scaling_child(int(sys.argv[2]))))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--stats":
+        run_stats(sys.argv[2])
         return
     _init_ray(NUM_CPUS)
     import ray
