@@ -1104,7 +1104,7 @@ def dedup_incremental_bloom(
     """Bloom-filter variant of ``dedup_incremental`` — the broadcast-
     membership scale path. The prior crawl's content fingerprints are
     folded into ONE fixed-size bitmap (per-block partial bitmaps, a numpy
-    scatter each, OR-merged on the driver — only BLOOM_BITS/8 bytes per
+    scatter each, OR-merged on the driver — only bits/8 bytes per
     block cross the wire, never a fingerprint set), the merged filter is
     ``ray.put`` once, and the current crawl streams through a stateless
     membership test. Admits only definitely-new pages: NO false negatives
