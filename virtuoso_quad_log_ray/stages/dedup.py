@@ -597,9 +597,13 @@ def minhash_lsh_pairs(
             }
         )
 
+    # pinned once (same contract as self_join_input): the emptiness gate
+    # below consumes it and the bucketed groupby reads the same blocks —
+    # without the pin the band-key map would execute twice. ~28 B/row
+    # (band, bh, bucket + url), never the signatures.
     band_rows = sig_tbl.map_batches(
         band_keys, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
 
     _RAW_PAIR_EMPTY = pa.table(
         {
