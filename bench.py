@@ -378,7 +378,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
         return
-    if len(sys.argv) > 2 and sys.argv[1] == "--stats":
+    if len(sys.argv) > 1 and sys.argv[1] == "--stats":
+        if len(sys.argv) < 3:
+            print("usage: bench.py --stats <query_name>", file=sys.stderr)
+            raise SystemExit(2)
         run_stats(sys.argv[2])
         return
     _init_ray(NUM_CPUS)

@@ -84,3 +84,32 @@ def test_cli_extractor_flag_reaches_config():
     assert cfg.extractor == "tag_strip" and cfg.extractor in EXTRACTORS
     default = _cfg(argparse.Namespace(extractor=None))
     assert default.extractor == "article"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_materialize_honors_extractor(tmp_path, capsys):
+    """materialize is the CLI command whose pipeline actually runs html
+    extraction (build_quads over synthesized html pages); --extractor must
+    reach it. tag_strip keeps nav/footer words, so tokenCount literals in
+    the materialized quads differ from the article rule."""
+    from virtuoso_quad_log_ray.pipelines.materialize import read_materialized
+    from tests.conftest import to_arrow
+
+    a = str(tmp_path / "mat_article")
+    b = str(tmp_path / "mat_strip")
+    assert main(["materialize", "--sf", SF_SMALL, "--out", a, "--epoch", "E1"]) == 0
+    assert (
+        main(
+            ["--extractor", "tag_strip", "materialize", "--sf", SF_SMALL, "--out", b, "--epoch", "E1"]
+        )
+        == 0
+    )
+    capsys.readouterr()
+
+    def tokencounts(root):
+        t = to_arrow(read_materialized(root))
+        mask = [p.endswith("tokenCount>") for p in t["p"].to_pylist()]
+        return {s: o for s, o, m in zip(t["s"].to_pylist(), t["o"].to_pylist(), mask) if m}
+
+    ta, tb = tokencounts(a), tokencounts(b)
+    assert set(ta) == set(tb) and ta != tb

@@ -141,3 +141,17 @@ def test_md5_digests_render_identically_through_fsb_hex():
     texts = ["a", "bb", "ccc"]
     fsb = pa.array([hashlib.md5(t.encode()).digest() for t in texts], type=pa.binary(16))
     assert fsb_hex(fsb).to_pylist() == [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+
+def test_fsb_hex_rejects_nulls():
+    """Null slots hold undefined data-buffer bytes; rendering them would
+    fabricate a shared fingerprint — fail loudly instead (the
+    half_away_int64 convention)."""
+    import pyarrow as pa
+    import pytest
+
+    from virtuoso_quad_log_ray.numerics import fsb_hex
+
+    arr = pa.array([b"\x01" * 16, None], type=pa.binary(16))
+    with pytest.raises(ValueError, match="null"):
+        fsb_hex(arr)

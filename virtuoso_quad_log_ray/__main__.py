@@ -162,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_runs=args.max_runs,
                 epoch=args.epoch,
                 snapshot_root=args.snapshot_root,
+                cfg=_cfg(args),
             )
             for man in mans:
                 print(
@@ -196,8 +197,13 @@ def main(argv: list[str] | None = None) -> int:
             from virtuoso_quad_log_ray.pipelines.kg import build_quads, dedup_quads
             from virtuoso_quad_log_ray.pipelines.materialize import materialize_quads
 
+            cfg = _cfg(args)
             man = materialize_quads(
-                dedup_quads(build_quads(args.sf)), args.out, epoch=epoch, n_buckets=args.buckets
+                dedup_quads(build_quads(args.sf, cfg)),
+                args.out,
+                epoch=epoch,
+                n_buckets=args.buckets,
+                cfg=cfg,
             )
             print(f"materialize: {man.quad_count} quads in {man.file_count} partitions")
     finally:

@@ -58,9 +58,11 @@ class EngineConfig:
     # near-identical pages (mirror farms, boilerplate) collides in EVERY
     # band; uncapped, each band bucket emits O(F^2) candidate pairs. Runs
     # larger than this emit STAR edges only (every member paired with the
-    # run's min url — linear, and sufficient for the connected-components
-    # consumer); runs at or under it emit all (i < j) pairs, so pair-level
-    # output is unchanged wherever buckets are sane.
+    # run's min url — linear; connectivity-preserving for the target
+    # near-identical mega-cluster case, a documented recall trade for
+    # heterogeneous over-cap buckets — see minhash_lsh_pairs); runs at or
+    # under it emit all (i < j) pairs, so pair-level output is unchanged
+    # wherever buckets are sane.
     lsh_band_bucket_cap: int = 256
 
     # Oracle parity vs production hashing (VERDICT r4 #4). True (default):

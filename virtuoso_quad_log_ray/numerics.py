@@ -142,9 +142,15 @@ def hash128_fsb(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
 
 def fsb_hex(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
     """fixed_size_binary(k) -> lowercase hex string array, fully vectorized:
-    one LUT take per byte position + one binary_join — no per-row Python."""
+    one LUT take per byte position + one binary_join — no per-row Python.
+
+    Nulls are rejected loudly (same convention as half_away_int64): the
+    data buffer holds undefined bytes for null slots, so rendering them
+    would fabricate a fingerprint shared by every null row."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("fsb_hex: null input — drop or fill nulls first")
     k = col.type.byte_width
     n = len(col)
     raw = np.frombuffer(

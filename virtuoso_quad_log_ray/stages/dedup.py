@@ -532,9 +532,16 @@ def minhash_lsh_pairs(
     runs at or under ``lsh_band_bucket_cap``, STAR edges (run-min url
     paired with every other member, linear in run size) above it
     (VERDICT r4 #1: a mirror farm of F near-identical pages collides in
-    every band and would otherwise emit O(F^2) rows; star edges preserve
-    connectivity for the ``connected_components`` consumer while pair-level
-    output is unchanged wherever buckets are sane). Seeing the WHOLE bucket
+    every band and would otherwise emit O(F^2) rows). Star-edge semantics,
+    honestly: for the target hazard — NEAR-IDENTICAL mega-clusters, where
+    every member verifies against the run head — connectivity through the
+    ``connected_components`` consumer is unchanged (TestLshBucketCap). For
+    a HETEROGENEOUS over-cap bucket (J spread straddling tau) a member
+    whose est J vs the run head falls below tau loses this band's linkage
+    and must rely on its other bands; a pair like that is inherently
+    marginal (per-band collision odds ~J^rows_per_band), but it is a
+    documented recall trade of the cap, not a free lunch. Seeing the WHOLE
+    bucket
     inside one task is what makes the cap exact — no frequency pre-pass, no
     broadcast hot set, and one less all-to-all than the previous band
     self-join. -> distinct pairs -> verify by joining the pairs back to the
@@ -982,6 +989,17 @@ def dedup_incremental(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.da
     strings on the build side. At 100 TB the index is a persisted Parquet
     artifact of run k (corpus-distinct-sized, ~16 B/doc) read straight into
     the join.
+
+    Cross-run persistence caveat (oracle_mode=False): hash128 is only
+    guaranteed deterministic WITHIN a process fleet sharing one polars
+    version (numerics.hash128 contract) — md5 is version-independent. A
+    persisted production-mode index MUST be stamped with
+    ``numerics.hash_fingerprint()`` and rebuilt on mismatch, exactly the
+    guard ``RunManifest.hash_fp`` applies to persisted bucket ids; a
+    polars upgrade between run k and run k+1 would otherwise re-key every
+    fingerprint and admit the entire unchanged corpus as "new". In-engine
+    both sides are computed in the same run, so this function is safe in
+    either mode.
     """
     import hashlib
 

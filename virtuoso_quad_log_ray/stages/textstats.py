@@ -1430,7 +1430,7 @@ def shuffle_shards(
 
     sorted_ds = (
         pages.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["shard", "k"])
+        .sort(["shard", "k", "url"])
         .materialize()
     )
     refs = sorted_ds.to_arrow_refs()
@@ -1500,7 +1500,7 @@ def curate_to_jsonl(
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     n_shards: int = 16,
-    epoch: str = "",
+    epoch: str,
 ):
     """Curation flagship -> delivery: run ``corpus_curate`` (gate ->
     exact-dedup keep-first -> shard plan), join the surviving urls back to
@@ -1557,7 +1557,7 @@ def sample_group_k(
                 type=pa.string(),
             )
         t = pa.table({"lang": b["lang"], "url": urls, "hk": hk}).sort_by(
-            [("lang", "ascending"), ("hk", "ascending")]
+            [("lang", "ascending"), ("hk", "ascending"), ("url", "ascending")]
         )
         codes = t["lang"].combine_chunks().dictionary_encode().indices.to_numpy(
             zero_copy_only=False
@@ -1574,7 +1574,7 @@ def sample_group_k(
         return t.filter(pa.array(local < k))
 
     def merge(group: pa.Table) -> pa.Table:
-        t = group.sort_by([("hk", "ascending")]).slice(0, k)
+        t = group.sort_by([("hk", "ascending"), ("url", "ascending")]).slice(0, k)
         return pa.table(
             {
                 "lang": t["lang"],
