@@ -957,3 +957,48 @@ def test_heavy_hitters_null_text_matches_sql_semantics():
     # fill_null("") there were 11 tokens, min_count 3, same winner — the
     # distinguishing case is the total/threshold shift at the boundary
     assert got == expect and got == {"hot": 6}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestProductionHashModeRemaining:
+    """Production-mode invariants for the remaining _url_key_int consumers
+    (contamination, pack_plan, corpus_curate): the selection keys change,
+    the structural contracts must not."""
+
+    from virtuoso_quad_log_ray.config import EngineConfig as _EC
+
+    PROD = _EC(oracle_mode=False)
+
+    def test_contamination_covers_all_train_pages(self):
+        from virtuoso_quad_log_ray.sources.pages import read_pages
+
+        prod = to_arrow(tx.contamination(SF_SMALL, self.PROD))
+        n_pages = read_pages(SF_SMALL, include_html=False).count()
+        # every NON-eval page gets exactly one row; eval slice is ~1/16
+        assert 0 < len(prod) < n_pages
+        assert len(set(prod["url"].to_pylist())) == len(prod)
+        again = to_arrow(tx.contamination(SF_SMALL, self.PROD))
+        assert sorted(prod["url"].to_pylist()) == sorted(again["url"].to_pylist())
+
+    def test_pack_plan_bins_respect_budget(self):
+        prod = to_arrow(tx.pack_plan(SF_SMALL, self.PROD))
+        import collections
+
+        by_bin: dict = collections.defaultdict(list)
+        for s, b, n in zip(
+            prod["shard"].to_pylist(), prod["bin_id"].to_pylist(), prod["n_tokens"].to_pylist()
+        ):
+            by_bin[(s, b)].append(n)
+        assert by_bin  # plan is non-empty
+        for (s, b), sizes in by_bin.items():
+            # a bin only exceeds the budget when a SINGLE oversized doc does
+            if len(sizes) > 1:
+                assert sum(sizes) <= tx.PACK_BUDGET_TOKENS, (s, b, sum(sizes))
+
+    def test_corpus_curate_same_survivors_different_shards(self):
+        oracle_side = to_arrow(tx.corpus_curate(SF_SMALL))
+        prod = to_arrow(tx.corpus_curate(SF_SMALL, self.PROD))
+        # the quality gate and keep-first dedup are hash-independent: the
+        # SURVIVOR SET matches; only the shard assignment permutes
+        assert sorted(prod["url"].to_pylist()) == sorted(oracle_side["url"].to_pylist())
+        assert all(0 <= s < 16 for s in prod["shard"].to_pylist())
