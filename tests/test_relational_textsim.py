@@ -980,20 +980,27 @@ class TestProductionHashModeRemaining:
         again = to_arrow(tx.contamination(SF_SMALL, self.PROD))
         assert sorted(prod["url"].to_pylist()) == sorted(again["url"].to_pylist())
 
-    def test_pack_plan_bins_respect_budget(self):
-        prod = to_arrow(tx.pack_plan(SF_SMALL, self.PROD))
+    def test_pack_plan_is_consistent_concat_chunk_layout(self):
+        """pack_plan is concat-and-chunk: within a shard, docs laid
+        end-to-end in url order, bin = start_offset // budget. Recompute
+        the prefix sums from the emitted (shard, url, n_tokens) and check
+        every bin_id — the layout invariant, valid under either hash mode."""
         import collections
 
-        by_bin: dict = collections.defaultdict(list)
-        for s, b, n in zip(
-            prod["shard"].to_pylist(), prod["bin_id"].to_pylist(), prod["n_tokens"].to_pylist()
-        ):
-            by_bin[(s, b)].append(n)
-        assert by_bin  # plan is non-empty
-        for (s, b), sizes in by_bin.items():
-            # a bin only exceeds the budget when a SINGLE oversized doc does
-            if len(sizes) > 1:
-                assert sum(sizes) <= tx.PACK_BUDGET_TOKENS, (s, b, sum(sizes))
+        prod = to_arrow(tx.pack_plan(SF_SMALL, self.PROD))
+        assert len(prod) > 0
+        rows = sorted(
+            zip(
+                prod["shard"].to_pylist(),
+                prod["url"].to_pylist(),
+                prod["n_tokens"].to_pylist(),
+                prod["bin_id"].to_pylist(),
+            )
+        )
+        offset: dict = collections.defaultdict(int)
+        for s, u, n, b in rows:
+            assert b == offset[s] // tx.PACK_BUDGET_TOKENS, (s, u)
+            offset[s] += n
 
     def test_corpus_curate_same_survivors_different_shards(self):
         oracle_side = to_arrow(tx.corpus_curate(SF_SMALL))
