@@ -48,15 +48,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_pages_exact": lambda sf: dd.dedup_pages_exact(sf),
         "dedup_url_canon": lambda sf: dd.dedup_url_canon(sf),
         "dedup_ngram_jaccard": lambda sf: dd.ngram_jaccard_pairs(sf),
-        "dedup_minhash_lsh": lambda sf: dd.minhash_lsh_pairs(sf),
-        "dedup_simhash": lambda sf: dd.simhash_pairs(sf),
         "dedup_clusters": lambda sf: cz.canonicalize_pages(sf),
         # --- text analysis ---
         "text_quality": lambda sf: tx.text_quality(sf),
         "text_fingerprints": lambda sf: tx.fingerprints(sf),
-        "text_lang_id": lambda sf: tx.lang_id(sf),
         "text_token_counts": lambda sf: tx.token_counts(sf),
-        "text_winnow_fp": lambda sf: tx.winnow_fingerprints(sf),
         "text_corpus_filter": lambda sf: tx.corpus_filter(sf),
         "text_stats_by_lang": lambda sf: tx.corpus_stats_by_lang(sf),
         "text_shard_plan": lambda sf: tx.shard_plan(sf),
@@ -72,9 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frame_sample": lambda sf: mm.frame_sample_meta(sf),
         # --- similarity search over embeddings ---
         "ann_topk": lambda sf: sim.ann_topk(sf),
-        "ann_topk_ivf": lambda sf: sim.ann_topk_ivf(sf),
-        "emb_clusters": lambda sf: sim.embedding_clusters(sf),
-        "emb_neardup_lsh": lambda sf: sim.embedding_neardup_pairs(sf),
         # --- relational coverage (filters/aggregates/joins/sort/windows) ---
         "rel_pricing_summary": lambda sf: rel.pricing_summary(sf),
         "rel_revenue_by_nation": lambda sf: rel.revenue_by_nation(sf),
@@ -95,33 +88,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pack_plan": lambda sf: tx.pack_plan(sf),
         "text_repetition": lambda sf: tx.text_repetition(sf),
         "text_tfidf_top_terms": lambda sf: tx.tfidf_top_terms(sf),
-        "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
         "rel_value_quantiles": lambda sf: rel.value_quantiles(sf),
-        "rel_events_sliding": lambda sf: rel.events_sliding(sf),
-        "rel_customers_no_urgent": lambda sf: rel.customers_no_urgent_orders(sf),
         # --- per-site crawl accounting + bounded inverted index + KG degrees ---
         "web_domain_stats": lambda sf: ws.web_domain_stats(sf),
         "text_postings": lambda sf: ws.text_postings(sf),
         "kg_entity_degree": lambda sf: kg.entity_degree(sf),
         "kg_entity_cooccur": lambda sf: kg.entity_cooccur(sf),
-        # iterative fixpoint -> rows-only (pinned in pytest against a dense
-        # power-iteration reference and the forced-distributed path)
-        "kg_entity_pagerank": lambda sf: kg.entity_pagerank(sf),
         # rdfpatch APPLY (consumer side): replay(v1, changelog) == fresh v2
         "kg_state_replay": lambda sf: cl.replay_state(sf),
         # incremental crawl vs prior fingerprint index (anti-join admit)
         "dedup_incremental": lambda sf: dd.dedup_incremental(sf),
+        # end-to-end curation flagship: gate -> exact-dedup keep-first -> shard
+        "text_corpus_curate": lambda sf: tx.corpus_curate(sf),
+        # EXACT despite the sketch: Misra-Gries candidates -> exact recount
+        "text_heavy_hitters": lambda sf: sk.heavy_hitters(sf),
+        # ---------------------------------------------------------------
+        # Entries past this line sit beyond the driver snapshot's 50-query
+        # prefix: first three are oracle-backed variants of in-prefix
+        # siblings (top_orders / range_window / dedup_incremental); the
+        # rest are probabilistic or iterative -> rows-only by construction,
+        # with determinism / error / recall bounds pinned in pytest.
+        # ---------------------------------------------------------------
+        "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
+        "rel_events_sliding": lambda sf: rel.events_sliding(sf),
+        "rel_customers_no_urgent": lambda sf: rel.customers_no_urgent_orders(sf),
+        # banded MinHash / SimHash near-dup: recall vs the exact n-gram
+        # Jaccard path is pinned in pytest
+        "dedup_minhash_lsh": lambda sf: dd.minhash_lsh_pairs(sf),
+        "dedup_simhash": lambda sf: dd.simhash_pairs(sf),
+        # corpus-trained trigram profiles -> no SQL analog
+        "text_lang_id": lambda sf: tx.lang_id(sf),
+        # winnowing window argmin -> rows-only (determinism pinned)
+        "text_winnow_fp": lambda sf: tx.winnow_fingerprints(sf),
+        # approximate ANN / clustering: recall@k vs exact ann_topk pinned
+        "ann_topk_ivf": lambda sf: sim.ann_topk_ivf(sf),
+        "emb_clusters": lambda sf: sim.embedding_clusters(sf),
+        "emb_neardup_lsh": lambda sf: sim.embedding_neardup_pairs(sf),
+        # iterative fixpoint -> rows-only (pinned in pytest against a dense
+        # power-iteration reference and the forced-distributed path)
+        "kg_entity_pagerank": lambda sf: kg.entity_pagerank(sf),
         # broadcast Bloom-membership scale path: no false negatives, a
         # bounded FPR of new pages wrongly dropped -> rows-only (pytest
         # pins admitted-subset + FPR vs the exact anti-join)
         "dedup_incremental_bloom": lambda sf: dd.dedup_incremental_bloom(sf),
-        # end-to-end curation flagship: gate -> exact-dedup keep-first -> shard
-        "text_corpus_curate": lambda sf: tx.corpus_curate(sf),
         # approximate by construction -> rows-only (error bound + exact-merge
         # property covered in pytest)
         "sketch_distinct_users": lambda sf: sk.events_distinct_users(sf),
-        # EXACT despite the sketch: Misra-Gries candidates -> exact recount
-        "text_heavy_hitters": lambda sf: sk.heavy_hitters(sf),
     }
 
 
