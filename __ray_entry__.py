@@ -104,10 +104,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_heavy_hitters": lambda sf: sk.heavy_hitters(sf),
         # ---------------------------------------------------------------
         # Entries past this line sit beyond the driver snapshot's 50-query
-        # prefix: first three are oracle-backed variants of in-prefix
-        # siblings (top_orders / range_window / dedup_incremental); the
-        # rest are probabilistic or iterative -> rows-only by construction,
-        # with determinism / error / recall bounds pinned in pytest.
+        # prefix: rel_* are oracle-backed variants of in-prefix siblings
+        # (top_orders / range_window / dedup_incremental) and text_winnow_fp
+        # is oracle-backed; the rest are probabilistic or iterative ->
+        # rows-only by construction, with determinism / error / recall
+        # bounds pinned in pytest.
         # ---------------------------------------------------------------
         "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
         "rel_events_sliding": lambda sf: rel.events_sliding(sf),
@@ -118,7 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": lambda sf: dd.simhash_pairs(sf),
         # corpus-trained trigram profiles -> no SQL analog
         "text_lang_id": lambda sf: tx.lang_id(sf),
-        # winnowing window argmin -> rows-only (determinism pinned)
+        # deterministic winnowing — oracle-backed (rolling hash in SQL)
         "text_winnow_fp": lambda sf: tx.winnow_fingerprints(sf),
         # approximate ANN / clustering: recall@k vs exact ann_topk pinned
         "ann_topk_ivf": lambda sf: sim.ann_topk_ivf(sf),
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # dedup_minhash_lsh / dedup_simhash / text_lang_id / emb_neardup_lsh:
         # probabilistic or non-SQL-expressible -> rows-only check
+        # (text_winnow_fp IS deterministic -> oracle-backed, entry below)
         "dedup_clusters": cz.canonicalize_sql(cfg.jaccard_threshold, cfg.shingle_size),
         "mm_frame_sample": mm.FRAME_SAMPLE_SQL,
         "mm_byte_histogram": mm.BYTE_HISTOGRAM_SQL,
@@ -208,4 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": dd.dedup_incremental_sql(),
         "text_corpus_curate": tx.corpus_curate_sql(),
         "text_heavy_hitters": sk.heavy_hitters_sql(),
+        # deterministic winnowing: same base-257 rolling hash mod 2^64 in
+        # HUGEINT SQL + frame-bounded window minima
+        "text_winnow_fp": tx.winnow_sql(),
     }

@@ -366,6 +366,13 @@ class TestTextStats:
         assert len(mirrors) == 20
         assert all(da[u] == da[u[: -len("?mirror=1")]] for u in mirrors)
 
+    def test_winnow_fingerprints_oracle(self, oracle):
+        """Value-exact vs the HUGEINT SQL re-derivation of the same
+        base-257 rolling hash + window-min selection (winnow_sql)."""
+        assert_matches_oracle(
+            tx.winnow_fingerprints(SF_SMALL), oracle, tx.winnow_sql(), ["url"]
+        )
+
     def test_lang_id_runs_and_is_deterministic(self):
         a = to_arrow(tx.lang_id(SF_SMALL))
         b = to_arrow(tx.lang_id(SF_SMALL))

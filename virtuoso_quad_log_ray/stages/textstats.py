@@ -533,6 +533,53 @@ WINNOW_K = 8  # k-gram length (chars)
 WINNOW_W = 16  # winnowing window
 
 
+def winnow_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB analog of :func:`winnow_fingerprints` — the same rolling
+    Rabin-Karp base-257 hash mod 2**64 (HUGEINT arithmetic, UBIGINT result),
+    per-window minima via a frame-bounded window function, short-document
+    global minima, then per-url distinct + count + bit_xor.
+
+    The Ray path hashes UTF-8 BYTES while ``ord(substr(...))`` hashes code
+    points; they coincide exactly on the ASCII sandbox corpus (asserted by
+    the oracle gate itself — any non-ASCII text would surface as a value
+    mismatch, not silent drift).
+    """
+    mod = 1 << 64
+    powers = [pow(257, e, mod) for e in range(k)]
+    terms = " + ".join(
+        f"CAST(lead(b,{j}) OVER w AS HUGEINT) * {powers[k - 1 - j]}"
+        if j
+        else f"CAST(b AS HUGEINT) * {powers[k - 1]}"
+        for j in range(k)
+    )
+    return (
+        "WITH " + PAGES_SQL_CTE + ",\n"
+        "chars AS (\n"
+        "  SELECT url, u.i AS i, ord(substr(text, CAST(u.i AS INT), 1)) AS b,\n"
+        "         length(text) AS len\n"
+        "  FROM pages, unnest(generate_series(1, length(text))) AS u(i)),\n"
+        "kg AS (\n"
+        f"  SELECT url, i, len - {k - 1} AS m,\n"
+        f"    CAST(({terms}) % {mod} AS UBIGINT) AS h\n"
+        "  FROM chars\n"
+        "  WINDOW w AS (PARTITION BY url ORDER BY i)\n"
+        f"  QUALIFY i <= len - {k - 1}),\n"
+        "wins AS (\n"
+        "  SELECT url, min(h) OVER (PARTITION BY url ORDER BY i\n"
+        f"    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh\n"
+        "  FROM kg\n"
+        f"  QUALIFY i <= m - {w - 1}),\n"
+        f"shorts AS (SELECT url, min(h) AS mh FROM kg WHERE m <= {w} GROUP BY url),\n"
+        "sel AS (SELECT DISTINCT url, mh\n"
+        "        FROM (SELECT * FROM wins UNION ALL SELECT * FROM shorts)),\n"
+        "agg AS (SELECT url, count(*) AS n_fingerprints, bit_xor(mh) AS fp_xor\n"
+        "        FROM sel GROUP BY url)\n"
+        "SELECT p.url AS url, coalesce(a.n_fingerprints, 0) AS n_fingerprints,\n"
+        "       CAST(coalesce(a.fp_xor, 0) AS UBIGINT) AS fp_xor\n"
+        "FROM pages p LEFT JOIN agg a ON p.url = a.url"
+    )
+
+
 
 def winnow_fingerprints(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): rolling
@@ -544,7 +591,7 @@ def winnow_fingerprints(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.
     over the WHOLE BATCH: one rolling-hash pass over the concatenated UTF-8
     buffer (cross-document k-grams masked out), one strided-view window
     minimum, one global (doc, hash) distinct + segment XOR — no per-document
-    Python loop. Rows-only check (not SQL-expressible).
+    Python loop. Oracle: :func:`winnow_sql` (same hash in HUGEINT SQL).
     """
     pages = read_pages(sf_dir, include_html=False)
 
