@@ -105,10 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------------------------------------------------------
         # Entries past this line sit beyond the driver snapshot's 50-query
         # prefix: rel_* are oracle-backed variants of in-prefix siblings
-        # (top_orders / range_window / dedup_incremental) and text_winnow_fp
-        # is oracle-backed; the rest are probabilistic or iterative ->
-        # rows-only by construction, with determinism / error / recall
-        # bounds pinned in pytest.
+        # (top_orders / range_window / dedup_incremental), and
+        # text_winnow_fp / dedup_incremental_bloom are oracle-backed; the
+        # rest are probabilistic or iterative -> rows-only by construction,
+        # with determinism / error / recall bounds pinned in pytest.
         # ---------------------------------------------------------------
         "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
         "rel_events_sliding": lambda sf: rel.events_sliding(sf),
@@ -129,8 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # power-iteration reference and the forced-distributed path)
         "kg_entity_pagerank": lambda sf: kg.entity_pagerank(sf),
         # broadcast Bloom-membership scale path: no false negatives, a
-        # bounded FPR of new pages wrongly dropped -> rows-only (pytest
-        # pins admitted-subset + FPR vs the exact anti-join)
+        # bounded FPR of new pages wrongly dropped — oracle-backed (the SQL
+        # simulates the filter exactly, false positives included)
         "dedup_incremental_bloom": lambda sf: dd.dedup_incremental_bloom(sf),
         # approximate by construction -> rows-only (error bound + exact-merge
         # property covered in pytest)
@@ -213,4 +213,7 @@ def oracle_sql() -> dict[str, str]:
         # deterministic winnowing: same base-257 rolling hash mod 2^64 in
         # HUGEINT SQL + frame-bounded window minima
         "text_winnow_fp": tx.winnow_sql(),
+        # exact SQL simulation of the Bloom filter (same md5-LE-uint64
+        # double hashing, same bit positions — false positives reproduced)
+        "dedup_incremental_bloom": dd.dedup_incremental_bloom_sql(),
     }

@@ -326,6 +326,18 @@ class TestIncrementalBloom:
         b = to_arrow(dd.dedup_incremental_bloom(SF_SMALL))
         assert sorted(a["url"].to_pylist()) == sorted(b["url"].to_pylist())
 
+    def test_bloom_matches_exact_sql_simulation(self, oracle):
+        """Value-exact vs the SQL re-derivation of the SAME filter (md5
+        little-endian halves, Kirsch-Mitzenmacher positions) — the oracle
+        reproduces the Bloom approximation bit-for-bit, so even wrongly
+        dropped pages must agree."""
+        assert_matches_oracle(
+            dd.dedup_incremental_bloom(SF_SMALL),
+            oracle,
+            dd.dedup_incremental_bloom_sql(),
+            ["url"],
+        )
+
     def test_bloom_params_sizing(self):
         """ADVICE r4: capacity planning must come from bloom_params, not the
         sandbox defaults. Check the standard FPR formula holds at the sizes

@@ -1116,6 +1116,45 @@ def _bloom_positions(fps: "np.ndarray", bits: int, k: int) -> "np.ndarray":
     return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(bits)
 
 
+def dedup_incremental_bloom_sql(bits: int = BLOOM_BITS, k: int = BLOOM_K) -> str:
+    """DuckDB oracle that simulates the Bloom filter EXACTLY (false
+    positives included): md5 digests split into the same two little-endian
+    uint64 halves numpy reads, the same Kirsch-Mitzenmacher positions
+    ``(h1 % bits + i * (h2 % (bits-1) + 1)) % bits``, prior-crawl positions
+    collected as a distinct set, and a v2 page admitted iff any of its k
+    positions is unset. Valid in ``oracle_mode`` (md5 digests); the
+    production hash128 path stays rows-only by construction."""
+    from virtuoso_quad_log_ray.pipelines.changelog import _versioned_pages_cte
+
+    def le64(expr: str, start: int) -> str:
+        # hex md5 -> little-endian uint64 (byte-reversed hex), matching
+        # np.frombuffer(digest, dtype=np.uint64)
+        parts = "||".join(f"substr({expr},{start + 2 * b},2)" for b in reversed(range(8)))
+        return f"CAST(('0x' || {parts}) AS UBIGINT)"
+
+    def renamed(version: int) -> str:
+        return (
+            _versioned_pages_cte(version)
+            .replace("docs", f"docs_v{version}")
+            .replace("pages AS", f"pages_v{version} AS")
+        )
+
+    return (
+        f"WITH {renamed(1)},\n{renamed(2)},\n"
+        "h1 AS (SELECT DISTINCT md5(text) AS m FROM pages_v1),\n"
+        f"hp1 AS (SELECT CAST({le64('m', 1)} % {bits} AS BIGINT) AS a,\n"
+        f"               CAST({le64('m', 17)} % {bits - 1} AS BIGINT) + 1 AS b FROM h1),\n"
+        f"pos1 AS (SELECT DISTINCT (a + t.i * b) % {bits} AS p FROM hp1, range({k}) t(i)),\n"
+        "h2 AS (SELECT url, md5(text) AS m FROM pages_v2),\n"
+        f"hp2 AS (SELECT url, m, CAST({le64('m', 1)} % {bits} AS BIGINT) AS a,\n"
+        f"               CAST({le64('m', 17)} % {bits - 1} AS BIGINT) + 1 AS b FROM h2),\n"
+        f"v2pos AS (SELECT url, m, (a + t.i * b) % {bits} AS p FROM hp2, range({k}) t(i)),\n"
+        "verdict AS (SELECT url, m, bool_and(p IN (SELECT p FROM pos1)) AS all_hit\n"
+        "            FROM v2pos GROUP BY url, m)\n"
+        "SELECT url, m AS content_md5 FROM verdict WHERE NOT all_hit"
+    )
+
+
 def dedup_incremental_bloom(
     sf_dir: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -1133,9 +1172,10 @@ def dedup_incremental_bloom(
     by construction (every truly-seen fingerprint hits all its bits), a
     bounded false-positive rate wrongly drops ~FPR of genuinely new pages
     — the standard trade on a 100 TB recrawl where the exact anti-join's
-    hash exchange is worth avoiding. Rows-only on the driver (approximate
-    by construction); pytest pins admitted ⊆ exact-admitted and the FPR
-    bound vs ``dedup_incremental``.
+    hash exchange is worth avoiding. Oracle: ``dedup_incremental_bloom_sql``
+    simulates the filter exactly in SQL (approximation included), so even
+    the false-positive behavior is value-checked; pytest additionally pins
+    admitted ⊆ exact-admitted and the FPR bound vs ``dedup_incremental``.
     """
     import hashlib
 
