@@ -105,10 +105,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------------------------------------------------------
         # Entries past this line sit beyond the driver snapshot's 50-query
         # prefix: rel_* are oracle-backed variants of in-prefix siblings
-        # (top_orders / range_window / dedup_incremental), and
-        # text_winnow_fp / dedup_incremental_bloom are oracle-backed; the
-        # rest are probabilistic or iterative -> rows-only by construction,
-        # with determinism / error / recall bounds pinned in pytest.
+        # (top_orders / range_window / dedup_incremental); text_winnow_fp,
+        # dedup_incremental_bloom and sketch_distinct_users are oracle-backed
+        # (the SQL re-derives the hash/filter/sketch itself); the rest are
+        # probabilistic or iterative -> rows-only by construction, with
+        # determinism / error / recall bounds pinned in pytest.
         # ---------------------------------------------------------------
         "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
         "rel_events_sliding": lambda sf: rel.events_sliding(sf),
@@ -132,8 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded FPR of new pages wrongly dropped — oracle-backed (the SQL
         # simulates the filter exactly, false positives included)
         "dedup_incremental_bloom": lambda sf: dd.dedup_incremental_bloom(sf),
-        # approximate by construction -> rows-only (error bound + exact-merge
-        # property covered in pytest)
+        # HLL sketch — oracle-backed: the SQL re-derives the sketch itself
+        # (splitmix64 + registers + estimator), value-checking the estimate
+        # error included; merge property additionally covered in pytest
         "sketch_distinct_users": lambda sf: sk.events_distinct_users(sf),
     }
 
@@ -216,4 +218,7 @@ def oracle_sql() -> dict[str, str]:
         # exact SQL simulation of the Bloom filter (same md5-LE-uint64
         # double hashing, same bit positions — false positives reproduced)
         "dedup_incremental_bloom": dd.dedup_incremental_bloom_sql(),
+        # exact SQL simulation of the HLL sketch (splitmix64 in modular
+        # HUGEINT, clz via bin(), integer-exact register sum + estimator)
+        "sketch_distinct_users": sk.events_distinct_users_sql(),
     }

@@ -122,6 +122,22 @@ class TestRelational:
         }
         assert again == got  # deterministic
 
+    def test_hll_distinct_users_oracle(self, oracle):
+        """Value-exact vs the SQL re-derivation of the sketch itself
+        (splitmix64, registers, estimator) — the estimate must agree
+        including its approximation error."""
+        from virtuoso_quad_log_ray.stages.sketches import (
+            events_distinct_users,
+            events_distinct_users_sql,
+        )
+
+        assert_matches_oracle(
+            events_distinct_users(SF_SMALL),
+            oracle,
+            events_distinct_users_sql(),
+            ["event_type"],
+        )
+
     def test_hll_distributed_merge_large_cardinality(self):
         """The DISTRIBUTED path (per-block partials + max-merge shuffle) at
         200k distinct values across many blocks stays within the sketch's

@@ -155,12 +155,64 @@ def hll_distinct(
     )
 
 
+def _sql_mulmod64(expr: str, c: int) -> str:
+    """SQL for ``expr * c mod 2**64`` without INT128 overflow: split the
+    constant into 32-bit halves, so each partial product stays under
+    2**96 (HUGEINT holds 2**127)."""
+    m64 = 1 << 64
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"CAST(((CAST({expr} AS HUGEINT) * {lo}) % {m64} + "
+        f"((CAST({expr} AS HUGEINT) * {hi}) % 4294967296) * 4294967296) % {m64} AS UBIGINT)"
+    )
+
+
+def events_distinct_users_sql() -> str:
+    """DuckDB re-derivation of the EXACT same HLL sketch: splitmix64 in
+    modular HUGEINT arithmetic, register index/rank via ``bin()`` length
+    (clz), per-(key, register) max, and the identical estimator with the
+    identical operation order (the register sum is reconstructed exactly as
+    an integer — every ``2**-reg`` term is a power of two, so
+    ``sum(2**(64-reg)) / 2**64`` is the true value numpy's pairwise float
+    sum approximates to within an ulp; the final int64 round absorbs that).
+    The approximation itself is value-checked, not just bounded: both sides
+    must produce the same estimate, including its error vs the true count.
+    Register max over duplicates is idempotent, so hashing DISTINCT
+    (key, user_id) is exact, not a shortcut."""
+    m64 = 1 << 64
+    m = _M  # 4096 registers (HLL_P = 12)
+    return (
+        "WITH vals AS (SELECT DISTINCT event_type AS key, user_id AS v FROM events),\n"
+        f"z0 AS (SELECT key, CAST((CAST(v AS HUGEINT) + 11400714819323198485) % {m64} AS UBIGINT) AS z FROM vals),\n"
+        f"z1 AS (SELECT key, {_sql_mulmod64('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM z0),\n"
+        f"z2 AS (SELECT key, {_sql_mulmod64('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM z1),\n"
+        "h AS (SELECT key, xor(z, z >> 31) AS h FROM z2),\n"
+        f"w AS (SELECT key, h >> {64 - HLL_P} AS idx,\n"
+        f"       CAST((CAST(h AS HUGEINT) * {m}) % {m64} AS UBIGINT) AS w FROM h),\n"
+        f"regs AS (SELECT key, idx, max(CASE WHEN w = 0 THEN {64 - HLL_P + 1}\n"
+        "                               ELSE 65 - length(bin(w)) END) AS reg\n"
+        "         FROM w GROUP BY key, idx),\n"
+        "agg AS (SELECT key, count(*) AS n_present,\n"
+        "          sum(CAST(power(2.0, 64 - reg) AS HUGEINT)) AS intsum\n"
+        "        FROM regs GROUP BY key),\n"
+        f"est AS (SELECT key, {m} - n_present AS zeros,\n"
+        f"          (0.7213/(1 + 1.079/{float(m)})) * {float(m)} * {float(m)} /\n"
+        f"            ((CAST(intsum AS DOUBLE) + CAST({m} - n_present AS DOUBLE) * {float(m64)}) / {float(m64)}) AS raw\n"
+        "        FROM agg)\n"
+        "SELECT key AS event_type,\n"
+        f"  CAST(round(CASE WHEN raw <= 2.5 * {float(m)} AND zeros > 0\n"
+        f"                  THEN {float(m)} * ln({float(m)} / zeros) ELSE raw END) AS BIGINT) AS approx_distinct\n"
+        "FROM est"
+    )
+
+
 def events_distinct_users(
     sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:
-    """Approximate distinct users per event_type over the events stream —
-    rows-only (approximate by construction); error bound and determinism
-    asserted in pytest against the exact answer."""
+    """Approximate distinct users per event_type over the events stream.
+    Oracle: ``events_distinct_users_sql`` re-derives the sketch itself, so
+    the estimate (error included) is value-checked; error bound and
+    merge/determinism properties additionally asserted in pytest."""
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
