@@ -106,16 +106,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Entries past this line sit beyond the driver snapshot's 50-query
         # prefix: rel_* are oracle-backed variants of in-prefix siblings
         # (top_orders / range_window / dedup_incremental); text_winnow_fp,
-        # dedup_incremental_bloom and sketch_distinct_users are oracle-backed
-        # (the SQL re-derives the hash/filter/sketch itself); the rest are
-        # probabilistic or iterative -> rows-only by construction, with
-        # determinism / error / recall bounds pinned in pytest.
+        # dedup_minhash_lsh, dedup_incremental_bloom and
+        # sketch_distinct_users are oracle-backed (the SQL re-derives the
+        # hash/filter/sketch itself); the rest are probabilistic or
+        # iterative -> rows-only by construction, with determinism / error
+        # / recall bounds pinned in pytest.
         # ---------------------------------------------------------------
         "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
         "rel_events_sliding": lambda sf: rel.events_sliding(sf),
         "rel_customers_no_urgent": lambda sf: rel.customers_no_urgent_orders(sf),
-        # banded MinHash / SimHash near-dup: recall vs the exact n-gram
-        # Jaccard path is pinned in pytest
+        # banded MinHash — oracle-backed (the SQL re-derives signatures,
+        # band buckets, capped pair emission and verify); SimHash stays
+        # rows-only (recall vs the exact n-gram path pinned in pytest)
         "dedup_minhash_lsh": lambda sf: dd.minhash_lsh_pairs(sf),
         "dedup_simhash": lambda sf: dd.simhash_pairs(sf),
         # corpus-trained trigram profiles -> no SQL analog
@@ -168,9 +170,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dd.ngram_jaccard_sql(
             cfg.jaccard_threshold, cfg.shingle_size
         ),
-        # dedup_minhash_lsh / dedup_simhash / text_lang_id / emb_neardup_lsh:
-        # probabilistic or non-SQL-expressible -> rows-only check
-        # (text_winnow_fp IS deterministic -> oracle-backed, entry below)
+        # dedup_simhash / text_lang_id / emb_neardup_lsh: probabilistic or
+        # non-SQL-expressible -> rows-only check (text_winnow_fp,
+        # dedup_minhash_lsh etc. ARE deterministic -> oracle entries below)
         "dedup_clusters": cz.canonicalize_sql(cfg.jaccard_threshold, cfg.shingle_size),
         "mm_frame_sample": mm.FRAME_SAMPLE_SQL,
         "mm_byte_histogram": mm.BYTE_HISTOGRAM_SQL,
@@ -221,4 +223,8 @@ def oracle_sql() -> dict[str, str]:
         # exact SQL simulation of the HLL sketch (splitmix64 in modular
         # HUGEINT, clz via bin(), integer-exact register sum + estimator)
         "sketch_distinct_users": sk.events_distinct_users_sql(),
+        # exact SQL re-derivation of the whole MinHash-LSH pipeline
+        # (md5 base hashes, 64 perms in modular HUGEINT, FNV band keys,
+        # capped pair emission, matching-perm verify)
+        "dedup_minhash_lsh": dd.minhash_lsh_sql(),
     }

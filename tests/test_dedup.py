@@ -29,6 +29,18 @@ class TestDedup:
             ["url_a", "url_b"],
         )
 
+    def test_minhash_lsh_matches_exact_sql_rederivation(self, oracle):
+        """Value-exact vs the full SQL re-derivation of the pipeline
+        (md5 base hashes, 64 perms in modular HUGEINT, FNV band keys,
+        capped pair emission, matching-perm verify) — the banded
+        approximation itself must agree pair-for-pair, estimates included."""
+        assert_matches_oracle(
+            dd.minhash_lsh_pairs(SF_SMALL),
+            oracle,
+            dd.minhash_lsh_sql(),
+            ["url_a", "url_b"],
+        )
+
     def test_minhash_two_sided_containment_vs_exact(self):
         """VERDICT r4 #6: two-sided bound vs the EXACT n-gram Jaccard oracle
         (replaces the recall-only pin). With tau=0.8, eps=0.2/0.1:

@@ -382,18 +382,38 @@ class MinHashSignatures:
     """Actor-pool stage: pages batch -> (url, sig fixed_size_binary).
 
     Permutation parameters are built once per actor in __init__ (stateful
-    setup); base hashes are the shared vectorized 128-bit hash.
+    setup). Base hashes follow the same mode split as ``dedup_incremental``:
+    ``oracle_mode`` uses md5 (version-independent and re-derivable in SQL —
+    the driver oracle recomputes the identical signatures), production mode
+    the vectorized 128-bit engine hash.
 
     Fully vectorized: shingles come from the Arrow offset-join construction
     (same as _shingle_rows), base hashes are computed per UNIQUE shingle
     (dictionary-encoded), and per-document minima over the (shingles x
     perms) matrix use a single argsort + minimum.reduceat — no Python loop
-    over documents or shingles in the hot path.
+    over documents or shingles in the hot path (oracle mode pays one
+    hashlib call per unique shingle, the established oracle-path trade).
     """
 
-    def __init__(self, num_perm: int, shingle_size: int):
+    def __init__(self, num_perm: int, shingle_size: int, oracle_mode: bool = False):
         self._a, self._b = _perm_params(num_perm)
         self._n = shingle_size
+        self._oracle = oracle_mode
+
+    def _base_hashes(self, dictionary: pa.Array) -> np.ndarray:
+        """Unique-shingle uint64 base hashes (mode-split, see class doc)."""
+        if self._oracle:
+            import hashlib
+
+            return np.array(
+                [
+                    np.frombuffer(hashlib.md5(s.encode()).digest()[:8], dtype=np.uint64)[0]
+                    for s in dictionary.to_pylist()
+                ],
+                dtype=np.uint64,
+            )
+        h1, _ = _hash128(dictionary)
+        return h1.view(np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = self._n
@@ -418,11 +438,10 @@ class MinHashSignatures:
             distinct = (
                 pa.table({"i": par, "sh": shingles}).group_by(["i", "sh"]).aggregate([])
             )
-            # base hash per UNIQUE shingle, fully vectorized (numerics
-            # hash128 is process-stable, so signatures agree across actors)
+            # base hash per UNIQUE shingle (mode-split: md5 in oracle mode,
+            # vectorized process-stable hash128 in production)
             enc = pc.dictionary_encode(distinct["sh"].combine_chunks())
-            h1, _ = _hash128(enc.dictionary)
-            uniq_h = h1.view(np.uint64)
+            uniq_h = self._base_hashes(enc.dictionary)
             base = uniq_h[enc.indices.to_numpy().astype(np.int64)]
             doc_idx = distinct["i"].to_numpy().astype(np.int64)
             order = np.argsort(doc_idx, kind="stable")
@@ -514,6 +533,84 @@ def _dedup_candidate_pairs(joined: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def minhash_lsh_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """DuckDB re-derivation of the ENTIRE MinHash-LSH pipeline — signatures,
+    band hashes, capped pair emission, and verify — so the banded
+    approximation itself is value-checked, not just recall-bounded.
+
+    Valid in ``oracle_mode`` (md5 base hashes, little-endian first-8-bytes
+    uint64, exactly what ``MinHashSignatures._base_hashes`` computes).
+    Every wrap-around the numpy path performs is reproduced in modular
+    HUGEINT arithmetic: ``(base ⊛ a_j ⊞ b_j) mod MERSENNE61`` with the
+    64x64 multiplies split into 32-bit halves, the per-band FNV polynomial
+    as ``sum(sig_k * FNV^(r-1-k)) mod 2**64``, all-pairs emission within a
+    (band, bh) bucket at or under ``lsh_band_bucket_cap`` and min-url star
+    edges above it, then the exact matching-perm count as the estimate
+    (``k/num_perm >= tau``, ppm via the same round-half-away).
+    """
+    import numpy as np
+
+    from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE
+
+    m64 = 1 << 64
+    num_perm, bands = cfg.minhash_num_perm, cfg.minhash_bands
+    rpb = num_perm // bands
+    cap, tau, shingle = cfg.lsh_band_bucket_cap, cfg.jaccard_threshold, cfg.shingle_size
+    fnv = 1099511628211
+
+    def mulmod(h: str, lo: str, hi: str) -> str:
+        return (
+            f"((CAST({h} AS HUGEINT) * {lo}) % {m64} + "
+            f"((CAST({h} AS HUGEINT) * {hi}) % 4294967296) * 4294967296) % {m64}"
+        )
+
+    a, b = _perm_params(num_perm)
+    perm_rows = ",\n    ".join(
+        f"({j}, {int(aj) & 0xFFFFFFFF}, {int(aj) >> 32}, {int(bj)})"
+        for j, (aj, bj) in enumerate(zip(a, b))
+    )
+    fp = [pow(fnv, e, m64) for e in range(rpb)]
+    fpow_rows = ",\n    ".join(
+        f"({pos}, {fp[rpb - 1 - pos] & 0xFFFFFFFF}, {fp[rpb - 1 - pos] >> 32})"
+        for pos in range(rpb)
+    )
+    le8 = "||".join(f"substr(md5(s),{1 + 2 * byte},2)" for byte in reversed(range(8)))
+    return f"""
+WITH {PAGES_SQL_CTE},
+toks AS (SELECT url, string_split(text, ' ') AS tk FROM pages),
+sh AS (SELECT DISTINCT url, array_to_string(tk[u.i:u.i+{shingle - 1}], ' ') AS s
+       FROM toks, unnest(generate_series(1, len(tk) - {shingle - 1})) u(i)),
+hs AS (SELECT url, CAST(('0x' || {le8}) AS UBIGINT) AS h FROM sh),
+perms(j, alo, ahi, bb) AS (VALUES
+    {perm_rows}),
+sig AS (SELECT url, j,
+          min(CAST((({mulmod('h', 'alo', 'ahi')} + bb) % {m64}) % {_MERSENNE} AS UBIGINT)) AS sig
+        FROM hs, perms GROUP BY url, j),
+fpow(pos, flo, fhi) AS (VALUES
+    {fpow_rows}),
+bandrows AS (SELECT url, j // {rpb} AS band,
+          CAST(sum({mulmod('sig', 'flo', 'fhi')}) % {m64} AS UBIGINT) AS bh
+        FROM sig JOIN fpow ON fpow.pos = sig.j % {rpb}
+        GROUP BY url, j // {rpb}),
+grp AS (SELECT band, bh, url,
+          count(*) OVER (PARTITION BY band, bh) AS n,
+          min(url) OVER (PARTITION BY band, bh) AS u0
+        FROM bandrows),
+cand AS (SELECT DISTINCT a.url AS url_a, b.url AS url_b
+         FROM grp a JOIN grp b ON a.band = b.band AND a.bh = b.bh AND a.url < b.url
+         WHERE a.n <= {cap} OR a.url = a.u0),
+verify AS (SELECT c.url_a, c.url_b,
+             sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS k
+           FROM cand c
+           JOIN sig sa ON sa.url = c.url_a
+           JOIN sig sb ON sb.url = c.url_b AND sb.j = sa.j
+           GROUP BY c.url_a, c.url_b)
+SELECT url_a, url_b,
+  CAST(round((k / CAST({num_perm} AS DOUBLE)) * 1000000.0) AS BIGINT) AS est_jaccard_ppm
+FROM verify WHERE k / CAST({num_perm} AS DOUBLE) >= {tau}
+"""
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -562,7 +659,11 @@ def minhash_lsh_pairs(
 
     sigs = read_pages(sf_dir, include_html=False).map_batches(
         MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_size": cfg.shingle_size},
+        fn_constructor_kwargs={
+            "num_perm": num_perm,
+            "shingle_size": cfg.shingle_size,
+            "oracle_mode": cfg.oracle_mode,
+        },
         **actor_kwargs(batch_size=1024),
     )
     # The signature table feeds band-key generation AND both verify joins —
