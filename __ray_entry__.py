@@ -106,18 +106,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Entries past this line sit beyond the driver snapshot's 50-query
         # prefix: rel_* are oracle-backed variants of in-prefix siblings
         # (top_orders / range_window / dedup_incremental); text_winnow_fp,
-        # dedup_minhash_lsh, dedup_incremental_bloom and
+        # dedup_minhash_lsh, dedup_simhash, dedup_incremental_bloom and
         # sketch_distinct_users are oracle-backed (the SQL re-derives the
-        # hash/filter/sketch itself); the rest are probabilistic or
-        # iterative -> rows-only by construction, with determinism / error
-        # / recall bounds pinned in pytest.
+        # hash/filter/sketch itself); the rest are float-iterative or
+        # model-trained -> rows-only by construction, with determinism /
+        # error / recall bounds pinned in pytest.
         # ---------------------------------------------------------------
         "rel_top_orders_by_priority": lambda sf: rel.top_orders_by_priority(sf),
         "rel_events_sliding": lambda sf: rel.events_sliding(sf),
         "rel_customers_no_urgent": lambda sf: rel.customers_no_urgent_orders(sf),
-        # banded MinHash — oracle-backed (the SQL re-derives signatures,
-        # band buckets, capped pair emission and verify); SimHash stays
-        # rows-only (recall vs the exact n-gram path pinned in pytest)
+        # banded MinHash / SimHash — both oracle-backed (the SQL re-derives
+        # signatures, band buckets, pair emission and verify end to end)
         "dedup_minhash_lsh": lambda sf: dd.minhash_lsh_pairs(sf),
         "dedup_simhash": lambda sf: dd.simhash_pairs(sf),
         # corpus-trained trigram profiles -> no SQL analog
@@ -170,9 +169,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dd.ngram_jaccard_sql(
             cfg.jaccard_threshold, cfg.shingle_size
         ),
-        # dedup_simhash / text_lang_id / emb_neardup_lsh: probabilistic or
-        # non-SQL-expressible -> rows-only check (text_winnow_fp,
-        # dedup_minhash_lsh etc. ARE deterministic -> oracle entries below)
+        # text_lang_id / emb_neardup_lsh / ann_topk_ivf / emb_clusters /
+        # kg_entity_pagerank: float-iterative or model-trained -> rows-only
+        # (the deterministic hash/sketch paths all have oracle entries below)
         "dedup_clusters": cz.canonicalize_sql(cfg.jaccard_threshold, cfg.shingle_size),
         "mm_frame_sample": mm.FRAME_SAMPLE_SQL,
         "mm_byte_histogram": mm.BYTE_HISTOGRAM_SQL,
@@ -227,4 +226,7 @@ def oracle_sql() -> dict[str, str]:
         # (md5 base hashes, 64 perms in modular HUGEINT, FNV band keys,
         # capped pair emission, matching-perm verify)
         "dedup_minhash_lsh": dd.minhash_lsh_sql(),
+        # exact SQL re-derivation of SimHash (frequency-weighted bit votes,
+        # pigeonhole bands, bit_count(xor) Hamming verify)
+        "dedup_simhash": dd.simhash_sql(),
     }

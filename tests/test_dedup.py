@@ -80,6 +80,14 @@ class TestDedup:
         mirrors = {p for p in pairs if p[1].endswith("?mirror=1")}
         assert len(mirrors) >= 18  # 20 mirror clones at sf0.001
 
+    def test_simhash_matches_exact_sql_rederivation(self, oracle):
+        """Value-exact vs the full SQL re-derivation (md5 token hashes per
+        occurrence, majority bit votes, pigeonhole bands, bit_count(xor)
+        verify) — pairs AND Hamming distances must agree."""
+        assert_matches_oracle(
+            dd.simhash_pairs(SF_SMALL), oracle, dd.simhash_sql(), ["url_a", "url_b"]
+        )
+
     def test_simhash_clones_have_zero_distance(self):
         t = to_arrow(dd.simhash_pairs(SF_SMALL))
         pairs = {

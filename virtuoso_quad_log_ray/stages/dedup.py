@@ -831,12 +831,28 @@ def minhash_lsh_pairs(
 
 class SimHashStage:
     """Actor-pool stage: pages -> (url, simhash:uint64). 64-bit SimHash over
-    whitespace tokens; blake2b hashes computed per UNIQUE token (cached per
-    actor), per-document bit votes via one argsort + add.reduceat — no
-    Python loop over documents."""
+    whitespace tokens; base hashes computed per UNIQUE token, per-document
+    bit votes via one argsort + add.reduceat — no Python loop over
+    documents. Same base-hash mode split as ``MinHashSignatures``:
+    ``oracle_mode`` uses md5 (re-derivable in SQL by ``simhash_sql``),
+    production the vectorized 128-bit engine hash."""
 
-    def __init__(self):
-        pass  # base hashing is the shared vectorized hash128; no per-actor state
+    def __init__(self, oracle_mode: bool = False):
+        self._oracle = oracle_mode
+
+    def _base_hashes(self, dictionary: pa.Array) -> np.ndarray:
+        if self._oracle:
+            import hashlib
+
+            return np.array(
+                [
+                    np.frombuffer(hashlib.md5(s.encode()).digest()[:8], dtype=np.uint64)[0]
+                    for s in dictionary.to_pylist()
+                ],
+                dtype=np.uint64,
+            )
+        h1, _ = _hash128(dictionary)
+        return h1.view(np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_docs = len(batch)
@@ -848,8 +864,7 @@ class SimHashStage:
         sims = np.zeros(n_docs, dtype=np.uint64)
         if len(flat):
             enc = pc.dictionary_encode(flat)
-            h1, _ = _hash128(enc.dictionary)
-            uniq_h = h1.view(np.uint64)  # vectorized, process-stable
+            uniq_h = self._base_hashes(enc.dictionary)
             hashes = uniq_h[enc.indices.to_numpy().astype(np.int64)]
             doc_idx = parents.to_numpy().astype(np.int64)
             order = np.argsort(doc_idx, kind="stable")
@@ -868,6 +883,39 @@ class SimHashStage:
         )
 
 
+def simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB re-derivation of the full SimHash pipeline (valid in
+    ``oracle_mode``): the same md5 little-endian uint64 token hashes —
+    per OCCURRENCE, votes are frequency-weighted — per-bit majority votes,
+    the 2^j bit sum in HUGEINT, the pigeonhole band split, and the
+    ``bit_count(xor(...))`` Hamming verify. The banded approximation is
+    value-checked pair-for-pair, Hamming distances included."""
+    from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE
+
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+    le8 = "||".join(f"substr(md5(tok),{1 + 2 * b},2)" for b in reversed(range(8)))
+    return f"""
+WITH {PAGES_SQL_CTE},
+toks AS (SELECT url, unnest(string_split(text, ' ')) AS tok FROM pages),
+hs AS (SELECT url, CAST(('0x' || {le8}) AS UBIGINT) AS h FROM toks),
+bits AS (SELECT url, t.j AS j, sum(CAST((h >> t.j) & 1 AS BIGINT)) AS ones, count(*) AS n
+         FROM hs, range(64) t(j) GROUP BY url, t.j),
+selsum AS (SELECT url, CAST(sum(CASE WHEN 2*ones - n > 0
+                                     THEN CAST(power(2.0, j) AS HUGEINT) ELSE 0 END) AS UBIGINT) AS sim
+           FROM bits GROUP BY url),
+sim AS (SELECT p.url AS url, coalesce(s.sim, 0) AS sim FROM pages p LEFT JOIN selsum s ON p.url = s.url),
+bands AS (SELECT url, sim, t.band AS band,
+                 (sim >> ({band_bits} * CAST(t.band AS INT))) & {(1 << band_bits) - 1} AS bv
+          FROM sim, range({n_bands}) t(band)),
+cand AS (SELECT DISTINCT a.url AS url_a, b.url AS url_b,
+                bit_count(xor(a.sim, b.sim)) AS hamming
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.url < b.url
+         WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming})
+SELECT url_a, url_b, CAST(hamming AS BIGINT) AS hamming FROM cand
+"""
+
+
 def simhash_pairs(
     sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG, *, max_hamming: int = 3
 ) -> ray.data.Dataset:
@@ -876,12 +924,15 @@ def simhash_pairs(
     Pigeonhole blocking: split 64 bits into max_hamming+1 bands; any pair
     within distance k agrees exactly on >= 1 band. groupby(band value) then
     verify true Hamming distance. Same inverted-index-join shape as LSH.
+    Oracle: ``simhash_sql`` re-derives the whole pipeline in SQL.
     """
     n_bands = max_hamming + 1
     band_bits = 64 // n_bands
 
     sigs = read_pages(sf_dir, include_html=False).map_batches(
-        SimHashStage, **actor_kwargs(batch_size=1024)
+        SimHashStage,
+        fn_constructor_kwargs={"oracle_mode": cfg.oracle_mode},
+        **actor_kwargs(batch_size=1024),
     )
 
     _BAND_EMPTY = pa.table(
