@@ -100,6 +100,39 @@ class TestDedup:
         zero = [h for h in pairs.values() if h == 0]
         assert len(zero) >= 20
 
+    def test_neardup_production_hash_mode(self):
+        """oracle_mode=False (vectorized hash128 base hashes, the 100 TB
+        path) stays live after the md5 oracle split: deterministic, and
+        byte-identical mirror clones — whose signatures match under ANY
+        base hash — are still paired (minhash est 1.0, simhash hamming 0)."""
+        from dataclasses import replace
+
+        prod = replace(cfg, oracle_mode=False)
+        mh = to_arrow(dd.minhash_lsh_pairs(SF_SMALL, prod))
+        clones = {
+            (a, b)
+            for a, b, ppm in zip(
+                mh["url_a"].to_pylist(),
+                mh["url_b"].to_pylist(),
+                mh["est_jaccard_ppm"].to_pylist(),
+            )
+            if ppm == 1_000_000
+        }
+        assert sum(1 for a, b in clones if b == a + "?mirror=1") == 20
+        mh2 = to_arrow(dd.minhash_lsh_pairs(SF_SMALL, prod))
+        assert sorted(zip(mh["url_a"].to_pylist(), mh["url_b"].to_pylist())) == sorted(
+            zip(mh2["url_a"].to_pylist(), mh2["url_b"].to_pylist())
+        )
+        sh = to_arrow(dd.simhash_pairs(SF_SMALL, prod))
+        zero_pairs = {
+            (a, b)
+            for a, b, h in zip(
+                sh["url_a"].to_pylist(), sh["url_b"].to_pylist(), sh["hamming"].to_pylist()
+            )
+            if h == 0
+        }
+        assert sum(1 for a, b in zero_pairs if b == a + "?mirror=1") == 20
+
 
 class TestBucketAggregate:
     """shuffle.bucket_aggregate — the vectorized-combine groupby primitive
