@@ -389,6 +389,42 @@ class TestTextStats:
             tx.winnow_fingerprints(SF_SMALL), oracle, tx.winnow_sql(), ["url"]
         )
 
+    def test_winnow_oracle_boundary_lengths(self, tmp_path):
+        """Engine vs SQL on a crafted corpus hitting every selection-branch
+        boundary: no k-gram (len < K), exactly one k-gram (m=1), one short
+        of a full window (m=W-1), exactly one window (m=W — BOTH the window
+        and short-doc branches fire; distinct must collapse them), one past
+        (m=W+1), and the empty string."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from virtuoso_quad_log_ray.stages.textstats import WINNOW_K, WINNOW_W
+
+        K, W = WINNOW_K, WINNOW_W
+        # text of length L has m = L - K + 1 k-grams
+        lengths = [0, K - 3, K, K + W - 2, K + W - 1, K + W, 3 * W]
+        texts = ["abcdefghij kl mnop"[:L].ljust(L, "x") for L in lengths]
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(2, 2 + len(texts))), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["news"] * len(texts)),
+                "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = to_arrow(tx.winnow_fingerprints(str(tmp_path)))
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        ora = con.sql(tx.winnow_sql()).arrow()
+        ga = sorted(map(tuple, got.to_pandas().astype(str).values.tolist()))
+        oa = sorted(map(tuple, ora.to_pandas().astype(str).values.tolist()))
+        assert len(ga) == len(texts) and ga == oa
+
     def test_lang_id_runs_and_is_deterministic(self):
         a = to_arrow(tx.lang_id(SF_SMALL))
         b = to_arrow(tx.lang_id(SF_SMALL))
