@@ -160,3 +160,63 @@ def fsb_hex(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
     if len(parts) == 1:
         return parts[0]
     return pc.binary_join_element_wise(*parts, "")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-mode hashing + SQL fragments shared by the hash-exact DuckDB oracles
+# (dedup MinHash/SimHash/Bloom, HLL sketch). These encode the numpy
+# wraparound/endianness contracts in ONE place — an edit here changes the
+# engine and every SQL re-derivation together.
+# ---------------------------------------------------------------------------
+
+U64_MOD = 1 << 64
+
+
+def md5_u64(dictionary: "pa.Array") -> np.ndarray:
+    """Unique-string array -> uint64 of the FIRST 8 md5 digest bytes read
+    little-endian — exactly ``np.frombuffer(md5(s).digest()[:8], '<u8')``.
+    The oracle-mode base hash for MinHash/SimHash; its SQL mirror is
+    ``sql_md5_le64``. Per-row hashlib on a dictionary-distinct column is
+    the established oracle-path trade (production uses hash128)."""
+    import hashlib
+
+    return np.array(
+        [
+            np.frombuffer(hashlib.md5(s.encode()).digest()[:8], dtype=np.uint64)[0]
+            for s in dictionary.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+
+
+def sql_hex_le64(hex_expr: str, start: int = 1) -> str:
+    """SQL for the little-endian uint64 at hex offset ``start`` of an
+    already-computed hex-digest column/expression (start=1 -> digest bytes
+    0-7, start=17 -> bytes 8-15): byte-reversed hex cast to UBIGINT,
+    matching ``np.frombuffer(digest, '<u8')``."""
+    parts = "||".join(
+        f"substr({hex_expr},{start + 2 * b},2)" for b in reversed(range(8))
+    )
+    return f"CAST(('0x' || {parts}) AS UBIGINT)"
+
+
+def sql_md5_le64(expr: str, start: int = 1) -> str:
+    """``sql_hex_le64`` over ``md5(expr)`` — the SQL mirror of ``md5_u64``.
+    When the md5 hex is reused (both halves, or also emitted as a column),
+    compute it once in a CTE and pass that column to ``sql_hex_le64``."""
+    return sql_hex_le64(f"md5({expr})", start)
+
+
+def sql_mulmod64(expr: str, c) -> str:
+    """SQL for ``expr * c mod 2**64`` without INT128 overflow: the
+    multiplier is split into 32-bit halves (as literals when ``c`` is an
+    int, as column references when it is a '(lo, hi)' name pair), so each
+    partial product stays under 2**96 — HUGEINT holds 2**127."""
+    if isinstance(c, int):
+        lo, hi = c & 0xFFFFFFFF, c >> 32
+    else:
+        lo, hi = c
+    return (
+        f"((CAST({expr} AS HUGEINT) * {lo}) % {U64_MOD} + "
+        f"((CAST({expr} AS HUGEINT) * {hi}) % 4294967296) * 4294967296) % {U64_MOD}"
+    )

@@ -261,6 +261,17 @@ def _versioned_pages_cte(version: int) -> str:
     return f"docs AS ({docs}),\n{body}"
 
 
+def versioned_pages_cte_renamed(version: int) -> str:
+    """``_versioned_pages_cte`` with CTE names suffixed ``_v{version}`` so
+    two snapshot versions can coexist in one WITH clause (the shape every
+    incremental-dedup oracle needs)."""
+    return (
+        _versioned_pages_cte(version)
+        .replace("docs", f"docs_v{version}")
+        .replace("pages AS", f"pages_v{version} AS")
+    )
+
+
 def _quads_select(version: int) -> str:
     """Standalone SELECT (with its own nested WITH) producing a snapshot's
     quad set — embedded as a CTE body in changelog_sql."""

@@ -395,7 +395,11 @@ class MinHashSignatures:
     hashlib call per unique shingle, the established oracle-path trade).
     """
 
-    def __init__(self, num_perm: int, shingle_size: int, oracle_mode: bool = False):
+    def __init__(self, num_perm: int, shingle_size: int, *, oracle_mode: bool):
+        # keyword-required with NO default: EngineConfig defaults oracle_mode
+        # to True while a stage-level default would have to pick one — a
+        # silent mismatch between construction routes would produce
+        # disagreeing signatures (and zero pairs) instead of an error
         self._a, self._b = _perm_params(num_perm)
         self._n = shingle_size
         self._oracle = oracle_mode
@@ -403,15 +407,9 @@ class MinHashSignatures:
     def _base_hashes(self, dictionary: pa.Array) -> np.ndarray:
         """Unique-shingle uint64 base hashes (mode-split, see class doc)."""
         if self._oracle:
-            import hashlib
+            from virtuoso_quad_log_ray.numerics import md5_u64
 
-            return np.array(
-                [
-                    np.frombuffer(hashlib.md5(s.encode()).digest()[:8], dtype=np.uint64)[0]
-                    for s in dictionary.to_pylist()
-                ],
-                dtype=np.uint64,
-            )
+            return md5_u64(dictionary)
         h1, _ = _hash128(dictionary)
         return h1.view(np.uint64)
 
@@ -548,8 +546,7 @@ def minhash_lsh_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
     edges above it, then the exact matching-perm count as the estimate
     (``k/num_perm >= tau``, ppm via the same round-half-away).
     """
-    import numpy as np
-
+    from virtuoso_quad_log_ray.numerics import sql_md5_le64, sql_mulmod64
     from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE
 
     m64 = 1 << 64
@@ -559,10 +556,7 @@ def minhash_lsh_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
     fnv = 1099511628211
 
     def mulmod(h: str, lo: str, hi: str) -> str:
-        return (
-            f"((CAST({h} AS HUGEINT) * {lo}) % {m64} + "
-            f"((CAST({h} AS HUGEINT) * {hi}) % 4294967296) * 4294967296) % {m64}"
-        )
+        return sql_mulmod64(h, (lo, hi))
 
     a, b = _perm_params(num_perm)
     perm_rows = ",\n    ".join(
@@ -574,13 +568,12 @@ def minhash_lsh_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
         f"({pos}, {fp[rpb - 1 - pos] & 0xFFFFFFFF}, {fp[rpb - 1 - pos] >> 32})"
         for pos in range(rpb)
     )
-    le8 = "||".join(f"substr(md5(s),{1 + 2 * byte},2)" for byte in reversed(range(8)))
     return f"""
 WITH {PAGES_SQL_CTE},
 toks AS (SELECT url, string_split(text, ' ') AS tk FROM pages),
 sh AS (SELECT DISTINCT url, array_to_string(tk[u.i:u.i+{shingle - 1}], ' ') AS s
        FROM toks, unnest(generate_series(1, len(tk) - {shingle - 1})) u(i)),
-hs AS (SELECT url, CAST(('0x' || {le8}) AS UBIGINT) AS h FROM sh),
+hs AS (SELECT url, {sql_md5_le64('s')} AS h FROM sh),
 perms(j, alo, ahi, bb) AS (VALUES
     {perm_rows}),
 sig AS (SELECT url, j,
@@ -837,20 +830,15 @@ class SimHashStage:
     ``oracle_mode`` uses md5 (re-derivable in SQL by ``simhash_sql``),
     production the vectorized 128-bit engine hash."""
 
-    def __init__(self, oracle_mode: bool = False):
+    def __init__(self, *, oracle_mode: bool):
+        # keyword-required, no default — same rationale as MinHashSignatures
         self._oracle = oracle_mode
 
     def _base_hashes(self, dictionary: pa.Array) -> np.ndarray:
         if self._oracle:
-            import hashlib
+            from virtuoso_quad_log_ray.numerics import md5_u64
 
-            return np.array(
-                [
-                    np.frombuffer(hashlib.md5(s.encode()).digest()[:8], dtype=np.uint64)[0]
-                    for s in dictionary.to_pylist()
-                ],
-                dtype=np.uint64,
-            )
+            return md5_u64(dictionary)
         h1, _ = _hash128(dictionary)
         return h1.view(np.uint64)
 
@@ -890,15 +878,15 @@ def simhash_sql(max_hamming: int = 3) -> str:
     the 2^j bit sum in HUGEINT, the pigeonhole band split, and the
     ``bit_count(xor(...))`` Hamming verify. The banded approximation is
     value-checked pair-for-pair, Hamming distances included."""
+    from virtuoso_quad_log_ray.numerics import sql_md5_le64
     from virtuoso_quad_log_ray.sources.pages import PAGES_SQL_CTE
 
     n_bands = max_hamming + 1
     band_bits = 64 // n_bands
-    le8 = "||".join(f"substr(md5(tok),{1 + 2 * b},2)" for b in reversed(range(8)))
     return f"""
 WITH {PAGES_SQL_CTE},
 toks AS (SELECT url, unnest(string_split(text, ' ')) AS tok FROM pages),
-hs AS (SELECT url, CAST(('0x' || {le8}) AS UBIGINT) AS h FROM toks),
+hs AS (SELECT url, {sql_md5_le64('tok')} AS h FROM toks),
 bits AS (SELECT url, t.j AS j, sum(CAST((h >> t.j) & 1 AS BIGINT)) AS ones, count(*) AS n
          FROM hs, range(64) t(j) GROUP BY url, t.j),
 selsum AS (SELECT url, CAST(sum(CASE WHEN 2*ones - n > 0
@@ -1219,14 +1207,9 @@ def dedup_incremental(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> ray.da
 
 
 def dedup_incremental_sql() -> str:
-    from virtuoso_quad_log_ray.pipelines.changelog import _versioned_pages_cte
-
-    def renamed(version: int) -> str:
-        return (
-            _versioned_pages_cte(version)
-            .replace("docs", f"docs_v{version}")
-            .replace("pages AS", f"pages_v{version} AS")
-        )
+    from virtuoso_quad_log_ray.pipelines.changelog import (
+        versioned_pages_cte_renamed as renamed,
+    )
 
     return (
         f"WITH {renamed(1)},\n{renamed(2)}\n"
@@ -1276,20 +1259,10 @@ def dedup_incremental_bloom_sql(bits: int = BLOOM_BITS, k: int = BLOOM_K) -> str
     collected as a distinct set, and a v2 page admitted iff any of its k
     positions is unset. Valid in ``oracle_mode`` (md5 digests); the
     production hash128 path stays rows-only by construction."""
-    from virtuoso_quad_log_ray.pipelines.changelog import _versioned_pages_cte
-
-    def le64(expr: str, start: int) -> str:
-        # hex md5 -> little-endian uint64 (byte-reversed hex), matching
-        # np.frombuffer(digest, dtype=np.uint64)
-        parts = "||".join(f"substr({expr},{start + 2 * b},2)" for b in reversed(range(8)))
-        return f"CAST(('0x' || {parts}) AS UBIGINT)"
-
-    def renamed(version: int) -> str:
-        return (
-            _versioned_pages_cte(version)
-            .replace("docs", f"docs_v{version}")
-            .replace("pages AS", f"pages_v{version} AS")
-        )
+    from virtuoso_quad_log_ray.numerics import sql_hex_le64 as le64
+    from virtuoso_quad_log_ray.pipelines.changelog import (
+        versioned_pages_cte_renamed as renamed,
+    )
 
     return (
         f"WITH {renamed(1)},\n{renamed(2)},\n"

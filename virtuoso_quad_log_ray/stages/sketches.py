@@ -86,13 +86,18 @@ def _keyed_registers(
 
 
 def _estimate(regs: np.ndarray) -> int:
+    from virtuoso_quad_log_ray.numerics import half_away_int64
+
     m = float(_M)
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
     zeros = int(np.count_nonzero(regs == 0))
     if est <= 2.5 * m and zeros:  # linear-counting small-range correction
         est = m * np.log(m / zeros)
-    return int(round(est))
+    # half-away rounding = DuckDB round(), so the SQL oracle
+    # (events_distinct_users_sql) agrees even on an exact .5 estimate
+    # (Python round() is banker's and would emit the even neighbor)
+    return int(half_away_int64(np.array([est]))[0])
 
 
 def hll_distinct(
@@ -156,15 +161,11 @@ def hll_distinct(
 
 
 def _sql_mulmod64(expr: str, c: int) -> str:
-    """SQL for ``expr * c mod 2**64`` without INT128 overflow: split the
-    constant into 32-bit halves, so each partial product stays under
-    2**96 (HUGEINT holds 2**127)."""
-    m64 = 1 << 64
-    hi, lo = c >> 32, c & 0xFFFFFFFF
-    return (
-        f"CAST(((CAST({expr} AS HUGEINT) * {lo}) % {m64} + "
-        f"((CAST({expr} AS HUGEINT) * {hi}) % 4294967296) * 4294967296) % {m64} AS UBIGINT)"
-    )
+    """UBIGINT-cast wrapper over the shared ``numerics.sql_mulmod64``
+    fragment (one home for the 32-bit-split wraparound contract)."""
+    from virtuoso_quad_log_ray.numerics import sql_mulmod64
+
+    return f"CAST({sql_mulmod64(expr, c)} AS UBIGINT)"
 
 
 def events_distinct_users_sql() -> str:
