@@ -155,3 +155,56 @@ def test_fsb_hex_rejects_nulls():
     arr = pa.array([b"\x01" * 16, None], type=pa.binary(16))
     with pytest.raises(ValueError, match="null"):
         fsb_hex(arr)
+
+
+def test_sql_mulmod64_matches_numpy_wraparound():
+    """The shared 32-bit-split fragment must equal uint64 wraparound
+    multiplication for constants above 2^32 (where a naive HUGEINT product
+    would overflow INT128) — the contract all five hash oracles lean on."""
+    from virtuoso_quad_log_ray.numerics import sql_mulmod64
+
+    con = duckdb.connect()
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 1 << 62, size=50, dtype=np.int64).astype(np.uint64)
+    vals[:2] = [0, (1 << 64) - 1]
+    for c in (0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 1099511628211, 1, (1 << 64) - 1):
+        expect = (vals * np.uint64(c)).tolist()  # numpy wraps mod 2^64
+        got = [
+            r[0]
+            for r in con.sql(
+                f"SELECT CAST({sql_mulmod64('v', c)} AS UBIGINT) "
+                "FROM (SELECT unnest(?) AS v)",
+                params=[[int(v) for v in vals]],
+            ).fetchall()
+        ]
+        assert got == expect, c
+
+
+def test_sql_md5_le64_matches_md5_u64():
+    """Byte-reversed-hex SQL fragment == np.frombuffer(digest[:8], '<u8'),
+    for both digest halves."""
+    import hashlib
+
+    from virtuoso_quad_log_ray.numerics import md5_u64, sql_hex_le64, sql_md5_le64
+
+    texts = ["", "a", "hello world", "x" * 100, "unicode-free ascii 123"]
+    want_lo = md5_u64(pa.array(texts)).tolist()
+    want_hi = [
+        int(np.frombuffer(hashlib.md5(t.encode()).digest()[8:], dtype=np.uint64)[0])
+        for t in texts
+    ]
+    con = duckdb.connect()
+    got_lo = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {sql_md5_le64('t')} FROM (SELECT unnest(?) AS t)", params=[texts]
+        ).fetchall()
+    ]
+    got_hi = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {sql_hex_le64('md5(t)', 17)} FROM (SELECT unnest(?) AS t)",
+            params=[texts],
+        ).fetchall()
+    ]
+    assert got_lo == want_lo and got_hi == want_hi
